@@ -1,0 +1,54 @@
+"""Test configuration: force an 8-device virtual CPU mesh BEFORE jax import.
+
+Multi-chip sharding paths are validated on a fake CPU mesh
+(``--xla_force_host_platform_device_count=8``), per the reference test
+strategy discussion in SURVEY.md §4 (point 5).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def synthetic_dataset(tmp_path_factory):
+    """A small preprocessed synthetic dataset shared across the session."""
+    from seqrec_tpu.data.synthetic import make_dataset
+
+    dirname = tmp_path_factory.mktemp("ds")
+    return make_dataset(
+        str(dirname), n_users=120, n_items=60, min_len=8, max_len=24, seed=3
+    )
+
+
+@pytest.fixture(scope="session")
+def synthetic_handler(synthetic_dataset):
+    from seqrec_tpu.data import DataHandler
+
+    return DataHandler(synthetic_dataset)
+
+
+class FakeDataset:
+    """Minimal stand-in for DataHandler in metric unit tests."""
+
+    def __init__(self, n_items=100, item_popularity=None, dirname=""):
+        self.n_items = n_items
+        self.item_popularity = (
+            np.arange(n_items, 0, -1)
+            if item_popularity is None
+            else np.asarray(item_popularity)
+        )
+        self.dirname = dirname
+
+
+@pytest.fixture
+def fake_dataset():
+    return FakeDataset()

@@ -1,0 +1,146 @@
+"""Golden-format tests for the preprocess pipeline.
+
+The on-disk contract is defined by /root/reference/preprocess.py:147-214.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from seqrec_tpu.data import DataHandler, SequenceStore
+from seqrec_tpu.data.preprocess import preprocess
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    """~30-row synthetic CSV with known structure."""
+    d = tmp_path_factory.mktemp("tiny")
+    rows = []
+    t = 0
+    # 6 users with 5 interactions each over 5 items (every item popular enough)
+    for u in range(6):
+        for i in range(5):
+            rows.append(f"{100+u}::{200+((i+u) % 5)}::{(i % 5)+1}::{t}")
+            t += 1
+    raw = d / "ratings.dat"
+    raw.write_text("\n".join(rows) + "\n")
+    dirname = preprocess(
+        str(raw),
+        columns="uirt",
+        sep="::",
+        min_user_activity=2,
+        min_item_pop=2,
+        val_size=1,
+        test_size=1,
+        seed=7,
+        dirname=str(d) + "/",
+    )
+    return dirname
+
+
+def test_creates_canonical_layout(tiny_dataset):
+    for sub in ("data", "models", "results"):
+        assert os.path.isdir(os.path.join(tiny_dataset, sub))
+    for f in (
+        "train_set_triplets",
+        "val_set_triplets",
+        "test_set_triplets",
+        "train_set_sequences",
+        "val_set_sequences",
+        "test_set_sequences",
+        "train_set_sequences+",
+        "stats",
+        "user_id_mapping",
+        "item_id_mapping",
+    ):
+        assert os.path.isfile(os.path.join(tiny_dataset, "data", f)), f
+
+
+def test_triplets_format_and_id_remap(tiny_dataset):
+    trips = np.loadtxt(
+        os.path.join(tiny_dataset, "data", "train_set_triplets")
+    )
+    assert trips.shape[1] == 3
+    # ids remapped to consecutive ints starting at 0
+    assert trips[:, 0].min() >= 0 and trips[:, 1].min() >= 0
+    assert trips[:, 1].max() < 5
+    # ratings preserved in 1..5
+    assert trips[:, 2].min() >= 1 and trips[:, 2].max() <= 5
+
+
+def test_sequence_format_roundtrip(tiny_dataset):
+    store = SequenceStore.from_file(
+        os.path.join(tiny_dataset, "data", "train_set_sequences")
+    )
+    assert len(store) == 4  # 6 users - 1 val - 1 test
+    # every sequence has 5 interactions (by construction)
+    assert (store.lengths == 5).all()
+
+
+def test_extended_set_has_halved_val_test_users(tiny_dataset):
+    base = SequenceStore.from_file(
+        os.path.join(tiny_dataset, "data", "train_set_sequences")
+    )
+    ext = SequenceStore.from_file(
+        os.path.join(tiny_dataset, "data", "train_set_sequences+")
+    )
+    assert len(ext) == len(base) + 2
+    # the appended sequences are halves: floor((5-?)..) -> 2 items each
+    extra_lengths = ext.lengths[len(base):]
+    assert (extra_lengths == 2).all()
+
+
+def test_stats_file(tiny_dataset):
+    handler = DataHandler(tiny_dataset)
+    assert handler.n_users == 6
+    assert handler.n_items == 5
+    assert handler.n_interactions == 30
+    assert handler.longest_sequence == 5
+    assert handler.training_set.n_users == 4
+    assert handler.validation_set.n_users == 1
+    assert handler.test_set.n_users == 1
+
+
+def test_item_popularity_cached(tiny_dataset):
+    handler = DataHandler(tiny_dataset)
+    pop = handler.item_popularity
+    assert pop.sum() == handler.training_set.n_interactions
+    assert os.path.isfile(
+        os.path.join(tiny_dataset, "data", "training_set_item_popularity.npy")
+    )
+
+
+def test_mappings_are_tsv_with_header(tiny_dataset):
+    with open(os.path.join(tiny_dataset, "data", "user_id_mapping")) as f:
+        header = f.readline().split("\t")
+    assert [h.strip() for h in header] == ["original_id", "new_id"]
+
+
+def test_extended_training_set_handler(tiny_dataset):
+    handler = DataHandler(tiny_dataset, extended_training_set=True)
+    seqs = list(handler.training_set(epochs=1))
+    assert len(seqs) == 6  # 4 train + 2 halved
+    assert handler.training_set.epochs == (len(seqs) - 1) / len(seqs)
+
+
+def test_sequence_generator_modes(tiny_dataset):
+    handler = DataHandler(tiny_dataset)
+    rng = np.random.default_rng(0)
+    seqs = list(
+        handler.training_set(
+            min_length=2, max_length=3, length_choice="max", epochs=1, rng=rng
+        )
+    )
+    assert all(len(s) == 3 for s, _ in seqs)
+    seqs_rand = list(
+        handler.training_set(
+            min_length=2,
+            max_length=4,
+            length_choice="random",
+            subsequence="begining",
+            epochs=1,
+            rng=rng,
+        )
+    )
+    assert all(2 <= len(s) <= 4 for s, _ in seqs_rand)
