@@ -1,0 +1,584 @@
+"""RNN-family base predictor: batching, training loop, checkpointing, eval.
+
+TPU-first re-design of /root/reference/neural_networks/rnn_base.py:58-643.
+The predictor protocol is preserved — ``prepare_model(dataset)``,
+``train(dataset, **opts)``, ``top_k_recommendations(...)``, ``save/load/
+load_last``, ``metrics`` — so the train/test drivers stay model-agnostic.
+
+Key departures from the reference (all TPU-motivated):
+
+- Models are parameter pytrees + pure loss/score functions; the train step
+  is one jitted function (loss → grad → optax update) with donated
+  arguments instead of Theano shared-variable updates.
+- Batch assembly produces packed integer arrays ``[B, L, F]`` of feature
+  ids (the sparse one-hot trick) rather than dense one-hot tensors; the
+  device side turns them into gate pre-activations with a single gather
+  (see seqrec_tpu/models/recurrent.py).
+- Validation is batched: the reference scores one user per compiled call
+  (rnn_base.py:394-395); here all validation users are packed into fixed
+  [chunk, L] arrays, scored and top-k'd on device in a few calls.
+- Checkpoints are ``np.savez`` archives of the flattened parameter pytree;
+  the reference's filename-encodes-all-hyperparameters convention
+  (rnn_base.py:111-130) and ``load_last`` glob/regex resume protocol
+  (rnn_base.py:481-506) are preserved so the test CLI's model-discovery
+  workflow ports over. Optimizer state is intentionally not checkpointed,
+  matching reference semantics (resume restarts Adam/Adagrad accumulators).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+import sys
+from time import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seqrec_tpu.data.noise import SequenceNoise
+from seqrec_tpu.data.targets import SelectTargets
+from seqrec_tpu.models.recurrent import RecurrentLayers
+from seqrec_tpu.models.updates import Adagrad
+from seqrec_tpu.ops.core import masked_top_k
+from seqrec_tpu.utils import evaluation
+
+# Defaults (reference rnn_base.py:24,32)
+MAX_LENGTH = 200
+BATCH_SIZE = 10
+
+
+def pytree_save(filename: str, params) -> None:
+    """Save a (nested-dict) pytree to an npz with path-encoded keys."""
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(prefix + (k,), v)
+        else:
+            flat["/".join(prefix)] = np.asarray(node)
+
+    walk((), params)
+    if os.path.dirname(filename) and not os.path.exists(os.path.dirname(filename)):
+        os.makedirs(os.path.dirname(filename))
+    with open(filename, "wb") as f:
+        np.savez(f, **flat)
+
+
+def pytree_load(filename: str) -> dict:
+    """Inverse of :func:`pytree_save`."""
+    out: dict = {}
+    with np.load(filename) as data:
+        for key in data.files:
+            node = out
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = data[key]
+    return out
+
+
+class RNNBase:
+    """Base for sequence predictors trained with the generic loop."""
+
+    def __init__(
+        self,
+        sequence_noise: SequenceNoise | None = None,
+        recurrent_layer: RecurrentLayers | None = None,
+        updater=None,
+        target_selection: SelectTargets | None = None,
+        interactions_are_unique: bool = True,
+        use_ratings_features: bool = False,
+        use_movies_features: bool = False,
+        use_users_features: bool = False,
+        max_length: int = MAX_LENGTH,
+        batch_size: int = BATCH_SIZE,
+        seed: int = 42,
+    ):
+        self.sequence_noise = sequence_noise or SequenceNoise()
+        self.recurrent_layer = recurrent_layer or RecurrentLayers()
+        self.updater = updater or Adagrad()
+        self.target_selection = target_selection or SelectTargets()
+        self.interactions_are_unique = interactions_are_unique
+        self.use_ratings_features = use_ratings_features
+        self.use_movies_features = use_movies_features
+        self.use_users_features = use_users_features
+        self.max_length = max_length
+        self.batch_size = batch_size
+        self.seed = seed
+        self.rng = np.random.default_rng(seed)
+
+        self.name = "RNN base"
+        self.metrics = {
+            "recall": {"direction": 1},
+            "sps": {"direction": 1},
+            "user_coverage": {"direction": 1},
+            "item_coverage": {"direction": 1},
+            "ndcg": {"direction": 1},
+            "blockbuster_share": {"direction": -1},
+        }
+
+        self.params = None
+        self.opt_state = None
+        self.eval_batch_size = max(batch_size, 64)
+
+    # ------------------------------------------------------------------
+    # featurization: packed sparse ids per timestep
+    # ------------------------------------------------------------------
+    @property
+    def n_feature_slots(self) -> int:
+        """Static number of feature ids per timestep (F)."""
+        return 1 + (1 if self.use_ratings_features else 0)
+
+    def _n_optional_features(self) -> int:
+        # rating one-hot occupies 10 id slots (rnn_base.py:578-593); the
+        # MovieLens-specific movie/user feature tables are out of scope
+        # here exactly as they are unpopulated in the reference
+        # (rnn_base.py:26-29).
+        return 10 if self.use_ratings_features else 0
+
+    def _input_size(self) -> int:
+        return self.n_items + self._n_optional_features()
+
+    def _feature_ids(self, item_id: int, rating: float):
+        ids = [item_id]
+        if self.use_ratings_features:
+            bucket = int(round(rating * 2)) - 1
+            ids.append(self.n_items + max(0, min(9, bucket)))
+        return ids
+
+    def _encode_sequences(self, seqs):
+        """Pack a list of [(item, rating), ...] into device-ready arrays.
+
+        Returns (ids [B,L,F] int32, id_mask [B,L,F] f32 or None, mask [B,L] f32).
+        """
+        B, L, F = len(seqs), self.max_length, self.n_feature_slots
+        ids = np.zeros((B, L, F), dtype=np.int32)
+        mask = np.zeros((B, L), dtype=np.float32)
+        for i, seq in enumerate(seqs):
+            for t, (item, rating) in enumerate(seq[:L]):
+                ids[i, t] = self._feature_ids(int(item), float(rating))
+            mask[i, : min(len(seq), L)] = 1.0
+        id_mask = None
+        if F > 1:
+            id_mask = np.broadcast_to(mask[:, :, None], ids.shape).astype(np.float32)
+        return ids, id_mask, mask
+
+    # ------------------------------------------------------------------
+    # model lifecycle
+    # ------------------------------------------------------------------
+    def prepare_model(self, dataset) -> None:
+        """Must be called before train, load or top_k_recommendations."""
+        self._prepare_networks(dataset.n_items)
+
+    def _prepare_networks(self, n_items: int) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+    def set_dataset(self, dataset) -> None:
+        self.dataset = dataset
+        self.target_selection.set_dataset(dataset)
+
+    # subclass hooks -----------------------------------------------------
+    def _init_params(self) -> dict:  # pragma: no cover
+        raise NotImplementedError
+
+    def _loss(self, params, batch):  # pragma: no cover
+        raise NotImplementedError
+
+    def _scores(self, params, ids, id_mask, mask):  # pragma: no cover
+        """Deterministic full-catalog scores [B, n_items]."""
+        raise NotImplementedError
+
+    def _prepare_input(self, sequences) -> dict:  # pragma: no cover
+        """sequences: list of [user_id, input_sequence, targets] → batch dict."""
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    # compiled functions
+    # ------------------------------------------------------------------
+    def _build_functions(self) -> None:
+        opt = self._opt = self.updater.make()
+
+        def train_step(params, opt_state, batch):
+            cost, grads = jax.value_and_grad(self._loss)(params, batch)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            return params, opt_state, cost
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+
+        def score_fn(params, ids, id_mask, mask):
+            return self._scores(params, ids, id_mask, mask)
+
+        self._score_jit = jax.jit(score_fn)
+
+        def topk_fn(params, ids, id_mask, mask, seen_ids, seen_mask, k):
+            scores = self._scores(params, ids, id_mask, mask)
+            return masked_top_k(scores, k, seen_ids, seen_mask)
+
+        self._topk_jit = jax.jit(topk_fn, static_argnums=(6,))
+
+    def train_function(self, batch) -> float:
+        """One optimizer step; returns the batch cost (device-synced)."""
+        self.params, self.opt_state, cost = self._train_step(
+            self.params, self.opt_state, batch
+        )
+        return float(cost)
+
+    # ------------------------------------------------------------------
+    # prediction
+    # ------------------------------------------------------------------
+    def top_k_recommendations(self, sequence, user_id=None, k=10, exclude=None):
+        """Receives a sequence of (id, rating); returns k item ids.
+
+        Parity with rnn_base.py:132-159 (seen/excluded items masked to
+        -inf before the top-k).
+        """
+        if exclude is None:
+            exclude = []
+        seq = sequence[-min(self.max_length, len(sequence)) :]
+        ids, id_mask, mask = self._encode_sequences([seq])
+        scores = np.array(
+            self._score_jit(self.params, ids, id_mask, mask)[0]
+        )
+        if self.interactions_are_unique:
+            scores[[int(i[0]) for i in sequence]] = -np.inf
+        scores[list(exclude)] = -np.inf
+        return list(np.argpartition(-scores, range(k))[:k])
+
+    # ------------------------------------------------------------------
+    # mini-batch generation (reference semantics, rnn_base.py:373-420)
+    # ------------------------------------------------------------------
+    def _gen_mini_batch(self, sequence_generator, test=False, max_reuse_sequence=np.inf):
+        while True:
+            j = 0
+            sequences = []
+            batch_size = 1 if test else self.batch_size
+            while j < batch_size:
+                sequence, user_id = next(sequence_generator)
+
+                if not test:
+                    n_cuts = int(min(batch_size - j, len(sequence) - 2, max_reuse_sequence))
+                    if n_cuts <= 0:
+                        continue
+                    seq_lengths = sorted(
+                        self.rng.choice(
+                            np.arange(2, len(sequence)), size=n_cuts, replace=False
+                        ).tolist()
+                    )
+                else:
+                    seq_lengths = [int(len(sequence) / 2)]
+
+                skipped_seq = 0
+                for l in seq_lengths:
+                    target = self.target_selection(sequence[l:], test=test)
+                    if len(target) == 0:
+                        skipped_seq += 1
+                        continue
+                    start = max(0, l - self.max_length)
+                    sequences.append([user_id, sequence[start:l], target])
+                j += len(seq_lengths) - skipped_seq
+
+            if test:
+                yield self._prepare_input(sequences), [
+                    i[0] for i in sequence[seq_lengths[0] :]
+                ]
+            else:
+                yield self._prepare_input(sequences)
+
+    # ------------------------------------------------------------------
+    # batched validation (replaces rnn_base.py:358-371 one-user-per-call)
+    # ------------------------------------------------------------------
+    def _iter_test_instances(self, sequence_generator):
+        """Yield (input_sequence, goal_ids, user_id) per test/val user."""
+        for sequence, user_id in sequence_generator:
+            l = int(len(sequence) / 2)
+            target = self.target_selection(sequence[l:], test=True)
+            if len(target) == 0:
+                continue
+            start = max(0, l - self.max_length)
+            goal = [i[0] for i in sequence[l:]]
+            yield sequence[start:l], goal, user_id
+
+    def _batched_recommendations(self, inputs, k: int = 10):
+        """Top-k for a list of input sequences, chunked on device."""
+        chunk = self.eval_batch_size
+        all_ids = []
+        for c0 in range(0, len(inputs), chunk):
+            batch = inputs[c0 : c0 + chunk]
+            pad = chunk - len(batch)
+            batch_p = batch + [batch[-1]] * pad
+            ids, id_mask, mask = self._encode_sequences(batch_p)
+            if self.interactions_are_unique:
+                seen_ids, seen_mask = ids[:, :, 0], mask
+            else:
+                seen_ids, seen_mask = None, None
+            topk = np.asarray(
+                self._topk_jit(self.params, ids, id_mask, mask, seen_ids, seen_mask, k)
+            )
+            all_ids.append(topk[: len(batch)])
+        return np.concatenate(all_ids, axis=0)
+
+    def _compute_validation_metrics(self, metrics):
+        ev = evaluation.Evaluator(self.dataset, k=10)
+        instances = list(self._iter_test_instances(self.dataset.validation_set(epochs=1)))
+        if instances:
+            inputs = [seq for seq, _, _ in instances]
+            recs = self._batched_recommendations(inputs, k=10)
+            for (_, goal, _), rec in zip(instances, recs):
+                ev.add_instance(goal, rec.tolist())
+        metrics["recall"].append(ev.average_recall())
+        metrics["sps"].append(ev.sps())
+        metrics["ndcg"].append(ev.average_ndcg())
+        metrics["user_coverage"].append(ev.user_coverage())
+        metrics["item_coverage"].append(ev.item_coverage())
+        metrics["blockbuster_share"].append(ev.blockbuster_share())
+        return metrics
+
+    # ------------------------------------------------------------------
+    # generic training loop (contract parity with rnn_base.py:215-356)
+    # ------------------------------------------------------------------
+    def get_pareto_front(self, metrics, metrics_names):
+        costs = np.zeros((len(metrics[metrics_names[0]]), len(metrics_names)))
+        for i, m in enumerate(metrics_names):
+            costs[:, i] = np.array(metrics[m]) * self.metrics[m]["direction"]
+        is_efficient = np.ones(costs.shape[0], dtype=bool)
+        for i, c in enumerate(costs):
+            if is_efficient[i]:
+                is_efficient[is_efficient] = np.any(costs[is_efficient] >= c, axis=1)
+        return np.where(is_efficient)[0].tolist()
+
+    def train(
+        self,
+        dataset,
+        max_time=np.inf,
+        progress=2.0,
+        time_based_progress=False,
+        autosave="All",
+        save_dir="",
+        min_iterations=0,
+        max_iter=np.inf,
+        max_progress_interval=np.inf,
+        load_last_model=False,
+        early_stopping=None,
+        validation_metrics=("sps",),
+    ):
+        validation_metrics = list(validation_metrics)
+        self.set_dataset(dataset)
+        if len(set(validation_metrics) & set(self.metrics.keys())) < len(
+            validation_metrics
+        ):
+            raise ValueError(
+                "Incorrect validation metrics. Metrics must be chosen among: "
+                + ", ".join(self.metrics.keys())
+            )
+
+        if self.params is None:
+            self.params = self._init_params()
+        if not hasattr(self, "_train_step"):
+            self._build_functions()
+
+        iterations = 0
+        epochs_offset = 0
+        if load_last_model:
+            epochs_offset = self.load_last(save_dir)
+        if self.opt_state is None:
+            self.opt_state = self._opt.init(self.params)
+
+        batch_generator = self._gen_mini_batch(
+            self.sequence_noise(dataset.training_set())
+        )
+
+        start_time = time()
+        next_save = int(progress)
+        train_costs = []
+        current_train_cost = []
+        epochs = []
+        metrics = {name: [] for name in self.metrics.keys()}
+        filename = {}
+
+        try:
+            while time() - start_time < max_time and iterations < max_iter:
+                # train on one batch
+                try:
+                    batch = next(batch_generator)
+                    cost = self.train_function(batch)
+                    if np.isnan(cost):
+                        raise ValueError("Cost is NaN")
+                except StopIteration:
+                    break
+
+                current_train_cost.append(cost)
+                iterations += 1
+
+                if time_based_progress:
+                    progress_indicator = int(time() - start_time)
+                else:
+                    progress_indicator = iterations
+
+                if progress_indicator >= next_save:
+                    if progress_indicator >= min_iterations:
+                        epochs.append(epochs_offset + dataset.training_set.epochs)
+                        train_costs.append(np.mean(current_train_cost))
+                        current_train_cost = []
+                        metrics = self._compute_validation_metrics(metrics)
+                        self._print_progress(
+                            iterations,
+                            epochs[-1],
+                            start_time,
+                            train_costs,
+                            metrics,
+                            validation_metrics,
+                        )
+
+                        run_nb = len(metrics[list(self.metrics.keys())[0]]) - 1
+                        if autosave == "All":
+                            filename[run_nb] = save_dir + self._get_model_filename(
+                                round(epochs[-1], 3)
+                            )
+                            self.save(filename[run_nb])
+                        elif autosave == "Best":
+                            pareto_runs = self.get_pareto_front(
+                                metrics, validation_metrics
+                            )
+                            if run_nb in pareto_runs:
+                                filename[run_nb] = save_dir + self._get_model_filename(
+                                    round(epochs[-1], 3)
+                                )
+                                self.save(filename[run_nb])
+                                to_delete = [
+                                    r for r in filename if r not in pareto_runs
+                                ]
+                                for run in to_delete:
+                                    try:
+                                        os.remove(filename[run])
+                                    except OSError:
+                                        print(
+                                            "Warning : Previous model could not be deleted"
+                                        )
+                                    del filename[run]
+
+                        if early_stopping is not None:
+                            if all(
+                                early_stopping(epochs, metrics[m])
+                                for m in validation_metrics
+                            ):
+                                break
+
+                    if isinstance(progress, int):
+                        next_save += min(progress, max_progress_interval)
+                    else:
+                        next_save += min(
+                            max_progress_interval, next_save * (progress - 1)
+                        )
+        except KeyboardInterrupt:
+            print("Training interrupted")
+
+        if not metrics[validation_metrics[0]]:
+            # no checkpoint was reached before the iteration/time budget ran
+            # out (the reference would crash here, rnn_base.py:355)
+            return ({m: None for m in self.metrics}, time() - start_time, None)
+        best_run = np.argmax(
+            np.array(metrics[validation_metrics[0]])
+            * self.metrics[validation_metrics[0]]["direction"]
+        )
+        return (
+            {m: metrics[m][best_run] for m in self.metrics.keys()},
+            time() - start_time,
+            filename.get(best_run),
+        )
+
+    def _print_progress(
+        self, iterations, epochs, start_time, train_costs, metrics, validation_metrics
+    ):
+        print(self.name, iterations, "batchs, ", epochs, " epochs in", time() - start_time, "s")
+        print("Last train cost : ", train_costs[-1])
+        for m in self.metrics:
+            print(m, ": ", metrics[m][-1])
+            if m in validation_metrics:
+                print(
+                    "Best ",
+                    m,
+                    ": ",
+                    max(np.array(metrics[m]) * self.metrics[m]["direction"])
+                    * self.metrics[m]["direction"],
+                )
+        print("-----------------")
+        # machine-readable TSV progress on stderr (rnn_base.py:434)
+        print(
+            iterations,
+            epochs,
+            time() - start_time,
+            train_costs[-1],
+            " ".join(str(metrics[m][-1]) for m in self.metrics),
+            file=sys.stderr,
+        )
+
+    # ------------------------------------------------------------------
+    # filenames / checkpointing (parity with rnn_base.py:111-130,470-515)
+    # ------------------------------------------------------------------
+    def _common_filename(self, epochs) -> str:
+        filename = (
+            "ml"
+            + str(self.max_length)
+            + "_bs"
+            + str(self.batch_size)
+            + "_ne"
+            + str(epochs)
+            + "_"
+            + self.recurrent_layer.name
+            + "_"
+            + self.updater.name
+            + "_"
+            + self.target_selection.name
+        )
+        if self.sequence_noise.name != "":
+            filename += "_" + self.sequence_noise.name
+        if not self.interactions_are_unique:
+            filename += "_ri"
+        if not (
+            self.use_ratings_features
+            or self.use_movies_features
+            or self.use_users_features
+        ):
+            filename += "_nf"
+        if self.use_ratings_features:
+            filename += "_rf"
+        if self.use_movies_features:
+            filename += "_mf"
+        if self.use_users_features:
+            filename += "_uf"
+        return filename
+
+    def _get_model_filename(self, epochs):  # pragma: no cover
+        raise NotImplementedError
+
+    def save(self, filename: str) -> None:
+        print("Save model in " + filename)
+        pytree_save(filename, jax.tree_util.tree_map(np.asarray, self.params))
+
+    def load(self, filename: str) -> None:
+        self.params = jax.tree_util.tree_map(
+            jnp.asarray, pytree_load(filename)
+        )
+        self.opt_state = None
+        if not hasattr(self, "_train_step"):
+            self._build_functions()
+
+    def load_last(self, save_dir: str) -> float:
+        def extract_number_of_epochs(filename):
+            m = re.search(r"_ne([0-9]+(\.[0-9]+)?)_", filename)
+            return float(m.group(1))
+
+        pattern = save_dir + self._get_model_filename("*")
+        files = np.array(glob.glob(pattern))
+        if len(files) == 0:
+            print("No previous model, starting from scratch")
+            return 0
+        last_batch = np.amax(np.array([extract_number_of_epochs(f) for f in files]))
+        last_model = save_dir + self._get_model_filename(last_batch)
+        print("Starting from model " + last_model)
+        self.load(last_model)
+        return last_batch

@@ -1,0 +1,97 @@
+"""RNN with full-catalog categorical cross-entropy (the parity flagship).
+
+Re-designs /root/reference/neural_networks/rnn_one_hot.py:13-106 TPU-first:
+the recurrent tower feeds a dense output layer over the whole catalog and
+the per-example CCE is divided by ``target_popularity^diversity_bias``
+(rnn_one_hot.py:71,103). The output matmul ``[B,H]·[H,n_items]`` is the
+dominant FLOP cost and is exactly the shape XLA tiles onto the MXU; under
+pjit the ``W_out`` columns shard over the mesh "model" axis and the
+log-sum-exp reduces with a psum.
+
+Regularization applies to the output bias only, L2 for positive values and
+L1 for negative ones (rnn_one_hot.py:73-78).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seqrec_tpu.models.base import RNNBase
+from seqrec_tpu.ops import losses
+
+
+class RNNOneHot(RNNBase):
+    def __init__(self, diversity_bias: float = 0.0, regularization: float = 0.0, **kwargs):
+        super().__init__(**kwargs)
+        self.diversity_bias = float(diversity_bias)
+        self.regularization = float(regularization)
+        self.name = "RNN with categorical cross entropy"
+
+    def _get_model_filename(self, epochs) -> str:
+        return (
+            "rnn_cce_db"
+            + str(self.diversity_bias)
+            + "_r"
+            + str(self.regularization)
+            + "_"
+            + self._common_filename(epochs)
+        )
+
+    # ------------------------------------------------------------------
+    def _prepare_networks(self, n_items: int) -> None:
+        self.n_items = n_items
+
+    def _init_params(self) -> dict:
+        rng = self.rng
+        tower = self.recurrent_layer.init_params(rng, self._input_size())
+        h_out = self.recurrent_layer.output_size
+        # DenseLayer defaults: GlorotUniform W, zero b
+        limit = np.sqrt(6.0 / (h_out + self.n_items))
+        return {
+            "tower": tower,
+            "W_out": rng.uniform(-limit, limit, size=(h_out, self.n_items)).astype(
+                np.float32
+            ),
+            "b_out": np.zeros(self.n_items, dtype=np.float32),
+        }
+
+    # ------------------------------------------------------------------
+    def _logits(self, params, ids, id_mask, mask):
+        h = self.recurrent_layer.apply(params["tower"], ids, mask, id_mask)
+        return (
+            jnp.dot(h, params["W_out"], preferred_element_type=jnp.float32)
+            + params["b_out"]
+        )
+
+    def _loss(self, params, batch):
+        logits = self._logits(params, batch["ids"], batch.get("id_mask"), batch["mask"])
+        cost = losses.diversity_biased_cce(
+            logits, batch["targets"], batch["target_pop"]
+        )
+        if self.regularization > 0.0:
+            cost = cost + self.regularization * jnp.sum(jnp.square(params["b_out"]))
+        elif self.regularization < 0.0:
+            cost = cost - self.regularization * jnp.sum(jnp.abs(params["b_out"]))
+        return cost
+
+    def _scores(self, params, ids, id_mask, mask):
+        # deterministic output = softmax over the catalog (rnn_one_hot.py:65)
+        return jax.nn.softmax(self._logits(params, ids, id_mask, mask), axis=-1)
+
+    # ------------------------------------------------------------------
+    def _prepare_input(self, sequences):
+        """sequences: list of [user_id, input_sequence, targets]
+        (rnn_one_hot.py:83-106, minus the dense one-hot assembly)."""
+        ids, id_mask, mask = self._encode_sequences([s[1] for s in sequences])
+        targets = np.array(
+            [s[2][0][0] for s in sequences], dtype=np.int32
+        )  # first and only target
+        pop = (
+            self.dataset.item_popularity[targets] ** self.diversity_bias
+        ).astype(np.float32)
+        batch = {"ids": ids, "mask": mask, "targets": targets, "target_pop": pop}
+        if id_mask is not None:
+            batch["id_mask"] = id_mask
+        return batch

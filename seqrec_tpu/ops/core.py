@@ -1,0 +1,92 @@
+"""Core device ops shared across models.
+
+These are the XLA reference implementations of the framework's hot ops;
+Pallas TPU kernels (seqrec_tpu/ops/pallas_*) override them on TPU where
+profitable. Everything here is shape-static and jit/vmap/grad friendly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+# ----------------------------------------------------------------------
+# gradient clipping on intermediate values (Lasagne grad_clipping analog,
+# reference: sparse_lstm.py grad_clipping on input/hidden pre-activations)
+# ----------------------------------------------------------------------
+@jax.custom_vjp
+def grad_clip(x, limit: float):
+    return x
+
+
+def _grad_clip_fwd(x, limit):
+    return x, limit
+
+
+def _grad_clip_bwd(limit, g):
+    return (jnp.clip(g, -limit, limit), None)
+
+
+grad_clip.defvjp(_grad_clip_fwd, _grad_clip_bwd)
+
+
+def maybe_grad_clip(x, limit: float):
+    """Identity when ``limit`` (a static python float) is falsy."""
+    return grad_clip(x, limit) if limit else x
+
+
+# ----------------------------------------------------------------------
+# multi-hot embedding gather-sum
+# ----------------------------------------------------------------------
+def gather_sum(table: jax.Array, ids: jax.Array, id_mask: jax.Array | None = None):
+    """Sum of ``table`` rows selected by ``ids`` over the last ids-axis.
+
+    This is the TPU-native replacement of the reference's sparse input
+    trick ``W_in[input, :].sum(axis=-2)`` (sparse_lstm.py:368,755,1133):
+    a multi-hot one-hot·matrix product expressed as an embedding gather.
+
+    Parameters
+    ----------
+    table: [n_rows, D]
+    ids:   int32 [..., F] row indices (padding ids must be valid indices).
+    id_mask: optional float [..., F]; padding entries contribute 0.
+
+    Returns [..., D].
+    """
+    rows = jnp.take(table, ids, axis=0)  # [..., F, D]
+    if id_mask is not None:
+        rows = rows * id_mask[..., None]
+    return rows.sum(axis=-2)
+
+
+# ----------------------------------------------------------------------
+# masked top-k over item scores
+# ----------------------------------------------------------------------
+def masked_top_k(
+    scores: jax.Array,
+    k: int,
+    seen_ids: jax.Array | None = None,
+    seen_mask: jax.Array | None = None,
+):
+    """Top-k item ids per row after excluding already-seen items.
+
+    Replaces the reference's ``output[seen] = -inf; np.argpartition``
+    (rnn_base.py:154-159) with a device-side scatter + ``lax.top_k``
+    (sorted, like ``argpartition(-x, range(k))``).
+
+    scores:    [B, n_items]
+    seen_ids:  int32 [B, S] (padded); scores at these ids are masked out.
+    seen_mask: float/bool [B, S]; 0 entries in seen_ids are ignored.
+    """
+    if seen_ids is not None:
+        neg = jnp.float32(-jnp.inf)
+        if seen_mask is None:
+            updates = jnp.full(seen_ids.shape, neg, dtype=scores.dtype)
+        else:
+            updates = jnp.where(seen_mask > 0, neg, 0.0).astype(scores.dtype)
+        # scatter -inf (or +0 for padding) into each row at seen ids
+        batch = jnp.arange(scores.shape[0])[:, None]
+        scores = scores.at[batch, seen_ids].add(updates)
+    _, ids = jax.lax.top_k(scores, k)
+    return ids

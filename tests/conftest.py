@@ -7,12 +7,19 @@ strategy discussion in SURVEY.md §4 (point 5).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Unconditional: the session environment points JAX at the real TPU with a
+# config default of "axon,cpu" that overrides the JAX_PLATFORMS env var;
+# tests always run on the virtual 8-device CPU mesh, so force the config.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
