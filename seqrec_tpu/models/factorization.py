@@ -1,0 +1,855 @@
+"""Factorization family: BPR-MF, FPMC, FISM, Fossil.
+
+TPU-first re-design of /root/reference/factorization/ (mf_base.py,
+bprmf.py, fpmc.py, fism.py, fossil.py). The reference iterates ONE
+python/numpy SGD sample per ``training_step`` call — the hot loop is
+interpreter overhead (SURVEY.md §3.2). Here each device step processes a
+vector of ``samples_per_step`` independent SGD samples inside one jitted
+function: gathers of the touched factor rows, the closed-form update, and
+scatter-adds back into the tables (colliding indices within a chunk
+accumulate rather than chain — the batched-SGD semantics divergence
+flagged in SURVEY.md §7; hyperparameters transfer at these chunk sizes).
+
+Sampling stays host-side numpy, vectorized per chunk: uniform negatives
+with rejection, or the Rendle'14 adaptive scheme (exponential-rank draw in
+factor-sorted item lists, factor chosen ∝ |V_u|·var(H); bprmf.py:73-99)
+including the reference's signed-index trick (negative sign ⇒ index from
+the other end of the ranking, bprmf.py:91).
+
+The training-loop contract (progress checkpoints, autosave pareto, early
+stop, per-epoch lr annealing, stderr TSV) matches mf_base.py:82-212, with
+iteration counts measured in samples so checkpoint cadence is comparable.
+
+Parity notes:
+- ``delta = 1 - 1/(1+exp(clip(x_false-x_true)))`` ≡ σ(clip(x_false−x_true))
+  (bprmf.py:54); Fossil's ``1/(1+exp(-clip(...)))`` is the same value
+  (fossil.py:75).
+- FISM's leave-one-out filter uses ``is not`` on numpy scalars and is
+  therefore a no-op in the reference (fism.py:116); we implement the
+  intended exclusion by value.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from time import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seqrec_tpu.models.base import RNNBase
+from seqrec_tpu.utils import evaluation
+
+
+def _sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+class MFBase:
+    """Shared train-loop/eval/checkpoint logic for the factorization family."""
+
+    samples_per_step = 512
+
+    def __init__(self, reg=0.0025, learning_rate=0.05, annealing=1.0, init_sigma=1, seed=42):
+        self.name = "Base for matrix factorization"
+        self.reg = reg
+        self.learning_rate = learning_rate
+        self.init_learning_rate = learning_rate
+        self.annealing_rate = annealing
+        self.init_sigma = init_sigma
+        self.max_length = np.inf  # compatibility with the RNN drivers
+        self.rng = np.random.default_rng(seed)
+        self.metrics = {
+            "recall": {"direction": 1},
+            "sps": {"direction": 1},
+            "user_coverage": {"direction": 1},
+            "item_coverage": {"direction": 1},
+            "ndcg": {"direction": 1},
+            "blockbuster_share": {"direction": -1},
+        }
+
+    # ------------------------------------------------------------------
+    def prepare_model(self, dataset) -> None:
+        self.dataset = dataset
+        self.n_items = dataset.n_items
+        self.n_users = dataset.n_users
+
+    def change_data_format(self, dataset) -> None:
+        """Sequence file → per-user (offset, length) index + flat item array
+        (mf_base.py:41-54), built from the packed SequenceStore."""
+        store = dataset.training_set.store
+        self.users = np.zeros((self.n_users, 2), dtype=np.int64)
+        for row in range(len(store)):
+            uid = int(store.user_ids[row])
+            self.users[uid] = [store.offsets[row], store.offsets[row + 1] - store.offsets[row]]
+        self.items = store.items.astype(np.int64)
+        # users with >= 2 interactions, for sampling (bprmf.py:79-80)
+        self._eligible_users = np.where(self.users[:, 1] >= 2)[0]
+
+    # subclass hooks -----------------------------------------------------
+    def init_model(self):  # pragma: no cover
+        raise NotImplementedError
+
+    def training_step(self, iterations) -> tuple[float, int]:
+        """Run one vectorized chunk; returns (mean cost, samples consumed)."""
+        raise NotImplementedError
+
+    def top_k_recommendations(self, sequence, user_id=None, k=10, exclude=None):  # pragma: no cover
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    def get_pareto_front(self, metrics, metrics_names):
+        return RNNBase.get_pareto_front(self, metrics, metrics_names)
+
+    def _compute_validation_metrics(self, metrics):
+        ev = evaluation.Evaluator(self.dataset, k=10)
+        for sequence, user_id in self.dataset.validation_set(epochs=1):
+            top_k = self.top_k_recommendations(
+                sequence[: len(sequence) // 2], user_id=int(user_id)
+            )
+            goal = [i[0] for i in sequence[len(sequence) // 2 :]]
+            ev.add_instance(goal, top_k)
+        metrics["recall"].append(ev.average_recall())
+        metrics["sps"].append(ev.sps())
+        metrics["ndcg"].append(ev.average_ndcg())
+        metrics["user_coverage"].append(ev.user_coverage())
+        metrics["item_coverage"].append(ev.item_coverage())
+        metrics["blockbuster_share"].append(ev.blockbuster_share())
+        return metrics
+
+    _print_progress = RNNBase._print_progress
+    load_last = RNNBase.load_last
+
+    def train(
+        self,
+        dataset,
+        max_time=np.inf,
+        progress=2.0,
+        time_based_progress=False,
+        autosave="All",
+        save_dir="",
+        min_iterations=0,
+        max_iter=np.inf,
+        max_progress_interval=np.inf,
+        load_last_model=False,
+        early_stopping=None,
+        validation_metrics=("sps",),
+    ):
+        validation_metrics = list(validation_metrics)
+        self.change_data_format(dataset)
+        if len(set(validation_metrics) & set(self.metrics.keys())) < len(
+            validation_metrics
+        ):
+            raise ValueError(
+                "Incorrect validation metrics. Metrics must be chosen among: "
+                + ", ".join(self.metrics.keys())
+            )
+
+        iterations = 0
+        epochs_offset = 0
+        if load_last_model:
+            epochs_offset = self.load_last(save_dir)
+        if epochs_offset == 0:
+            self.init_model()
+
+        start_time = time()
+        next_save = int(progress)
+        train_costs = []
+        current_train_cost = []
+        epochs = []
+        metrics = {name: [] for name in self.metrics.keys()}
+        filename = {}
+        n_interactions = dataset.training_set.n_interactions
+        next_anneal = n_interactions
+
+        while time() - start_time < max_time and iterations < max_iter:
+            cost, consumed = self.training_step(iterations)
+            current_train_cost.append(cost)
+            iterations += consumed
+
+            # lr annealing once per epoch-worth of samples (mf_base.py:152-153)
+            while iterations >= next_anneal:
+                self.learning_rate *= self.annealing_rate
+                next_anneal += n_interactions
+
+            if time_based_progress:
+                progress_indicator = int(time() - start_time)
+            else:
+                progress_indicator = iterations
+
+            if progress_indicator >= next_save:
+                if progress_indicator >= min_iterations:
+                    epochs.append(epochs_offset + iterations / n_interactions)
+                    train_costs.append(np.mean(current_train_cost))
+                    current_train_cost = []
+                    metrics = self._compute_validation_metrics(metrics)
+                    self._print_progress(
+                        iterations, epochs[-1], start_time, train_costs, metrics, validation_metrics
+                    )
+
+                    run_nb = len(metrics[list(self.metrics.keys())[0]]) - 1
+                    if autosave == "All":
+                        filename[run_nb] = save_dir + self._get_model_filename(
+                            round(epochs[-1], 3)
+                        )
+                        self.save(filename[run_nb])
+                    elif autosave == "Best":
+                        pareto_runs = self.get_pareto_front(metrics, validation_metrics)
+                        if run_nb in pareto_runs:
+                            filename[run_nb] = save_dir + self._get_model_filename(
+                                round(epochs[-1], 3)
+                            )
+                            self.save(filename[run_nb])
+                            to_delete = [r for r in filename if r not in pareto_runs]
+                            for run in to_delete:
+                                try:
+                                    os.remove(filename[run])
+                                except OSError:
+                                    print("Warning : Previous model could not be deleted")
+                                del filename[run]
+
+                    if early_stopping is not None:
+                        if all(
+                            early_stopping(epochs, metrics[m]) for m in validation_metrics
+                        ):
+                            break
+
+                while next_save <= progress_indicator:
+                    if isinstance(progress, int):
+                        next_save += min(progress, max_progress_interval)
+                    else:
+                        next_save += min(max_progress_interval, next_save * (progress - 1))
+
+        if not metrics[validation_metrics[0]]:
+            return ({m: None for m in self.metrics}, time() - start_time, None)
+        best_run = np.argmax(
+            np.array(metrics[validation_metrics[0]])
+            * self.metrics[validation_metrics[0]]["direction"]
+        )
+        return (
+            {m: metrics[m][best_run] for m in self.metrics.keys()},
+            time() - start_time,
+            filename.get(best_run),
+        )
+
+    # ------------------------------------------------------------------
+    def _save_arrays(self, filename: str, **arrays) -> None:
+        print("Save model in " + filename)
+        if os.path.dirname(filename) and not os.path.exists(os.path.dirname(filename)):
+            os.makedirs(os.path.dirname(filename))
+        np.savez(open(filename, "wb"), **{k: np.asarray(v) for k, v in arrays.items()})
+
+    # host-side sampling helpers ----------------------------------------
+    def _sample_users(self, n: int) -> np.ndarray:
+        return self.rng.choice(self._eligible_users, size=n)
+
+    def _uniform_negatives(self, forbidden_rows, n: int) -> np.ndarray:
+        """Vectorized rejection sampling of negatives.
+
+        forbidden_rows: list/array of per-sample forbidden item sets
+        (as numpy arrays)."""
+        out = self.rng.integers(0, self.n_items, size=n)
+        for _ in range(20):
+            bad = np.array(
+                [out[i] in forbidden_rows[i] for i in range(n)], dtype=bool
+            )
+            if not bad.any():
+                break
+            out[bad] = self.rng.integers(0, self.n_items, size=int(bad.sum()))
+        return out
+
+
+# ======================================================================
+class BPRMF(MFBase):
+    """BPR-MF (Rendle'09) with optional adaptive sampling (Rendle'14).
+    Math parity: bprmf.py:36-99."""
+
+    def __init__(self, k=32, adaptive_sampling=True, sampling_bias=500, **kwargs):
+        super().__init__(**kwargs)
+        self.name = "BPRMF"
+        self.k = k
+        self.adaptive_sampling = adaptive_sampling
+        self.sampling_bias = sampling_bias
+
+    def _get_model_filename(self, epochs):
+        filename = (
+            "bprmf_ne" + str(epochs) + "_lr" + str(self.init_learning_rate)
+            + "_an" + str(self.annealing_rate) + "_k" + str(self.k)
+            + "_reg" + str(self.reg) + "_ini" + str(self.init_sigma)
+        )
+        if self.adaptive_sampling:
+            filename += "_as" + str(self.sampling_bias)
+        return filename + ".npz"
+
+    def init_model(self):
+        self.V = jnp.asarray(
+            self.init_sigma * self.rng.standard_normal((self.n_users, self.k)), jnp.float32
+        )
+        self.H = jnp.asarray(
+            self.init_sigma * self.rng.standard_normal((self.n_items, self.k)), jnp.float32
+        )
+        self.bias = jnp.zeros(self.n_items, jnp.float32)
+        self._step = jax.jit(partial(self._sgd_chunk, self.reg), donate_argnums=(0, 1, 2))
+
+    @staticmethod
+    def _sgd_chunk(reg, V, H, bias, u, i, j, lr):
+        Vu, Hi, Hj = V[u], H[i], H[j]
+        x_true = bias[i] + jnp.sum(Vu * Hi, axis=-1)
+        x_false = bias[j] + jnp.sum(Vu * Hj, axis=-1)
+        delta = _sigmoid(jnp.clip(x_false - x_true, -10, 10))[:, None]
+        V = V.at[u].add(lr * (delta * (Hi - Hj) - reg * Vu))
+        H = H.at[i].add(lr * (delta * Vu - reg * Hi))
+        H = H.at[j].add(lr * (-delta * Vu - reg / 10 * Hj))
+        d = delta[:, 0]
+        bias = bias.at[i].add(lr * (d - reg * bias[i]))
+        bias = bias.at[j].add(lr * (-d - reg * bias[j]))
+        return V, H, bias, d.mean()
+
+    # ------------------------------------------------------------------
+    def compute_factor_rankings(self):
+        """bprmf.py:66-71."""
+        H = np.asarray(self.H)
+        self.ranks = np.argsort(H, axis=0)
+        self.var = np.var(H, axis=0)
+
+    def _adaptive_negatives(self, users, user_item_rows):
+        n = len(users)
+        V = np.asarray(self.V)
+        out = np.empty(n, dtype=np.int64)
+        for s in range(n):
+            u = users[s]
+            forbidden = user_item_rows[s]
+            factor_prob = np.abs(V[u]) * self.var
+            p = factor_prob / factor_prob.sum()
+            signs = np.sign(V[u])
+            while True:
+                rank = self.rng.exponential(scale=self.sampling_bias)
+                while rank >= self.n_items:
+                    rank = self.rng.exponential(scale=self.sampling_bias)
+                f = self.rng.choice(self.k, p=p)
+                # signed-index trick (bprmf.py:91): negative sign indexes
+                # the ranking from the other end
+                false_item = self.ranks[int(int(rank) * signs[f]), f]
+                if false_item not in forbidden:
+                    break
+            out[s] = false_item
+        return out
+
+    def _sample_chunk(self, n):
+        users = self._sample_users(n)
+        rows = [
+            self.items[self.users[u, 0] : self.users[u, 0] + self.users[u, 1]]
+            for u in users
+        ]
+        true_items = np.array([self.rng.choice(r) for r in rows])
+        if self.adaptive_sampling:
+            false_items = self._adaptive_negatives(users, rows)
+        else:
+            false_items = self._uniform_negatives(rows, n)
+        return users, true_items, false_items
+
+    def training_step(self, iterations):
+        n = self.samples_per_step
+        if self.adaptive_sampling and (
+            iterations % int(self.n_items * np.log(self.n_items)) < n
+            or not hasattr(self, "ranks")
+        ):
+            self.compute_factor_rankings()
+        u, i, j = self._sample_chunk(n)
+        self.V, self.H, self.bias, cost = self._step(
+            self.V, self.H, self.bias, u, i, j, np.float32(self.learning_rate)
+        )
+        return float(cost), n
+
+    # ------------------------------------------------------------------
+    def top_k_recommendations(self, sequence, user_id=None, k=10, exclude=None):
+        if exclude is None:
+            exclude = []
+        V, H, bias = np.asarray(self.V), np.asarray(self.H), np.asarray(self.bias)
+        output = bias + V[user_id] @ H.T
+        output[[i[0] for i in sequence]] = -np.inf
+        output[list(exclude)] = -np.inf
+        return list(np.argpartition(-output, range(k))[:k])
+
+    def save(self, filename):
+        self._save_arrays(filename, V=self.V, H=self.H, bias=self.bias)
+
+    def load(self, filename):
+        f = np.load(filename)
+        self.V = jnp.asarray(f["V"])
+        self.H = jnp.asarray(f["H"])
+        self.bias = jnp.asarray(f["bias"])
+        self._step = jax.jit(partial(self._sgd_chunk, self.reg), donate_argnums=(0, 1, 2))
+
+
+# ======================================================================
+class FPMC(MFBase):
+    """Factorized Personalized Markov Chains (Rendle'10). Parity: fpmc.py."""
+
+    def __init__(self, k_cf=32, k_mc=32, adaptive_sampling=True, sampling_bias=500, **kwargs):
+        super().__init__(**kwargs)
+        self.name = "FPMC"
+        self.k_cf = k_cf
+        self.k_mc = k_mc
+        self.adaptive_sampling = adaptive_sampling
+        self.sampling_bias = sampling_bias
+
+    def _get_model_filename(self, epochs):
+        filename = (
+            "fpmc_ne" + str(epochs) + "_lr" + str(self.init_learning_rate)
+            + "_an" + str(self.annealing_rate) + "_kcf" + str(self.k_cf)
+            + "_kmc" + str(self.k_mc) + "_reg" + str(self.reg)
+            + "_ini" + str(self.init_sigma)
+        )
+        if self.adaptive_sampling:
+            filename += "_as" + str(self.sampling_bias)
+        return filename + ".npz"
+
+    def init_model(self):
+        rnd = self.rng.standard_normal
+        s = self.init_sigma
+        self.V_user_item = jnp.asarray(s * rnd((self.n_users, self.k_cf)), jnp.float32)
+        self.V_item_user = jnp.asarray(s * rnd((self.n_items, self.k_cf)), jnp.float32)
+        self.V_prev_next = jnp.asarray(s * rnd((self.n_items, self.k_mc)), jnp.float32)
+        self.V_next_prev = jnp.asarray(s * rnd((self.n_items, self.k_mc)), jnp.float32)
+        self._step = jax.jit(
+            partial(self._sgd_chunk, self.reg), donate_argnums=(0, 1, 2, 3)
+        )
+
+    @staticmethod
+    def _sgd_chunk(reg, VUI, VIU, VPN, VNP, u, p, i, j, lr):
+        VUIu, VIUi, VIUj = VUI[u], VIU[i], VIU[j]
+        VPNp, VNPi, VNPj = VPN[p], VNP[i], VNP[j]
+        x_true = jnp.sum(VUIu * VIUi, -1) + jnp.sum(VPNp * VNPi, -1)
+        x_false = jnp.sum(VUIu * VIUj, -1) + jnp.sum(VPNp * VNPj, -1)
+        delta = _sigmoid(jnp.clip(x_false - x_true, -10, 10))[:, None]
+        VUI = VUI.at[u].add(lr * (delta * (VIUi - VIUj) - reg * VUIu))
+        VIU = VIU.at[i].add(lr * (delta * VUIu - reg * VIUi))
+        VIU = VIU.at[j].add(lr * (-delta * VUIu - reg * VIUj))
+        VPN = VPN.at[p].add(lr * (delta * (VNPi - VNPj) - reg * VPNp))
+        VNP = VNP.at[i].add(lr * (delta * VPNp - reg * VNPi))
+        VNP = VNP.at[j].add(lr * (-delta * VPNp - reg * VNPj))
+        return VUI, VIU, VPN, VNP, delta[:, 0].mean()
+
+    def compute_factor_rankings(self):
+        """fpmc.py:74-84."""
+        VIU, VNP = np.asarray(self.V_item_user), np.asarray(self.V_next_prev)
+        self.ranks = np.concatenate((np.argsort(VIU, axis=0), np.argsort(VNP, axis=0)), axis=1)
+        self.var = np.concatenate((np.var(VIU, axis=0), np.var(VNP, axis=0)))
+
+    def _sample_chunk(self, n):
+        users = self._sample_users(n)
+        prevs = np.empty(n, dtype=np.int64)
+        trues = np.empty(n, dtype=np.int64)
+        for s, u in enumerate(users):
+            r = self.rng.integers(0, self.users[u, 1] - 1)
+            prevs[s] = self.items[self.users[u, 0] + r]
+            trues[s] = self.items[self.users[u, 0] + r + 1]
+        if self.adaptive_sampling:
+            VUI = np.asarray(self.V_user_item)
+            VPN = np.asarray(self.V_prev_next)
+            falses = np.empty(n, dtype=np.int64)
+            for s in range(n):
+                concat = np.concatenate((VUI[users[s]], VPN[prevs[s]]))
+                factor_prob = np.abs(concat) * self.var
+                p = factor_prob / factor_prob.sum()
+                signs = np.sign(concat)
+                while True:
+                    rank = self.rng.exponential(scale=self.sampling_bias)
+                    while rank >= self.n_items:
+                        rank = self.rng.exponential(scale=self.sampling_bias)
+                    f = self.rng.choice(self.k_cf + self.k_mc, p=p)
+                    false_next = self.ranks[int(int(rank) * signs[f]), f]
+                    if false_next != trues[s]:
+                        break
+                falses[s] = false_next
+        else:
+            falses = self.rng.integers(0, self.n_items - 1, size=n)
+            falses[falses >= trues] += 1  # ensure false != true (fpmc.py:110-112)
+        return users, prevs, trues, falses
+
+    def training_step(self, iterations):
+        n = self.samples_per_step
+        if self.adaptive_sampling and (
+            iterations % int(self.n_items * np.log(self.n_items)) < n
+            or not hasattr(self, "ranks")
+        ):
+            self.compute_factor_rankings()
+        u, p, i, j = self._sample_chunk(n)
+        (
+            self.V_user_item,
+            self.V_item_user,
+            self.V_prev_next,
+            self.V_next_prev,
+            cost,
+        ) = self._step(
+            self.V_user_item,
+            self.V_item_user,
+            self.V_prev_next,
+            self.V_next_prev,
+            u,
+            p,
+            i,
+            j,
+            np.float32(self.learning_rate),
+        )
+        return float(cost), n
+
+    def top_k_recommendations(self, sequence, user_id=None, k=10, exclude=None):
+        if exclude is None:
+            exclude = []
+        last_item = sequence[-1][0]
+        VUI = np.asarray(self.V_user_item)
+        VIU = np.asarray(self.V_item_user)
+        VPN = np.asarray(self.V_prev_next)
+        VNP = np.asarray(self.V_next_prev)
+        output = VUI[user_id] @ VIU.T + VPN[last_item] @ VNP.T
+        output[[i[0] for i in sequence]] = -np.inf
+        output[list(exclude)] = -np.inf
+        return list(np.argpartition(-output, range(k))[:k])
+
+    def save(self, filename):
+        self._save_arrays(
+            filename,
+            V_user_item=self.V_user_item,
+            V_item_user=self.V_item_user,
+            V_prev_next=self.V_prev_next,
+            V_next_prev=self.V_next_prev,
+        )
+
+    def load(self, filename):
+        f = np.load(filename)
+        self.V_user_item = jnp.asarray(f["V_user_item"])
+        self.V_item_user = jnp.asarray(f["V_item_user"])
+        self.V_prev_next = jnp.asarray(f["V_prev_next"])
+        self.V_next_prev = jnp.asarray(f["V_next_prev"])
+        self._step = jax.jit(
+            partial(self._sgd_chunk, self.reg), donate_argnums=(0, 1, 2, 3)
+        )
+
+
+# ======================================================================
+def _pad_rows(rows, pad_to, pad_value):
+    """Pad a list of 1-D int arrays to [N, pad_to]; returns (ids, mask)."""
+    n = len(rows)
+    out = np.full((n, pad_to), pad_value, dtype=np.int64)
+    mask = np.zeros((n, pad_to), dtype=np.float32)
+    for s, r in enumerate(rows):
+        r = r[:pad_to]
+        out[s, : len(r)] = r
+        mask[s, : len(r)] = 1.0
+    return out, mask
+
+
+def _bucket(n: int) -> int:
+    b = 8
+    while b < n:
+        b *= 2
+    return b
+
+
+class FISM(MFBase):
+    """Factored Item Similarity Model (Kabbur'13). Parity: fism.py.
+
+    Variable-length user baskets are padded per chunk to a power-of-two
+    bucket (bounded recompilation); padded slots scatter to row index
+    ``n_items`` which jit drops (JAX scatter OOB semantics)."""
+
+    def __init__(self, k=100, alpha=0.5, loss="auc", **kwargs):
+        super().__init__(**kwargs)
+        self.name = "FISM"
+        self.k = k
+        self.loss = loss
+        if loss not in ("RMSE", "BPR"):
+            raise ValueError("Unknown loss for FISM: " + str(loss))
+        self.alpha = alpha
+
+    def _get_model_filename(self, epochs):
+        return (
+            "fism_" + self.loss + "_ne" + str(epochs)
+            + "_lr" + str(self.init_learning_rate) + "_an" + str(self.annealing_rate)
+            + "_k" + str(self.k) + "_reg" + str(self.reg)
+            + "_ini" + str(self.init_sigma) + ".npz"
+        )
+
+    def init_model(self):
+        self.V = jnp.asarray(
+            self.init_sigma * self.rng.standard_normal((self.n_items, self.k)), jnp.float32
+        )
+        self.H = jnp.asarray(
+            self.init_sigma * self.rng.standard_normal((self.n_items, self.k)), jnp.float32
+        )
+        self.bias = jnp.zeros(self.n_items, jnp.float32)
+        if self.loss == "BPR":
+            self._step = jax.jit(
+                partial(self._auc_chunk, self.reg, self.alpha), donate_argnums=(0, 1, 2)
+            )
+        else:
+            self._step = jax.jit(
+                partial(self._rmse_chunk, self.reg, self.alpha), donate_argnums=(0, 1, 2)
+            )
+
+    @staticmethod
+    def _auc_chunk(reg, alpha, V, H, bias, basket, bmask, i, j, lr):
+        """basket excludes the true item (proper leave-one-out)."""
+        counts = jnp.maximum(bmask.sum(-1), 1.0)
+        scale = jnp.power(counts, -alpha)[:, None]
+        Vrows = V[jnp.minimum(basket, V.shape[0] - 1)] * bmask[..., None]
+        Vsum = Vrows.sum(axis=1)
+        Hi, Hj = H[i], H[j]
+        x_true = bias[i] + jnp.sum(scale * Vsum * Hi, -1)
+        x_false = bias[j] + jnp.sum(scale * Vsum * Hj, -1)
+        delta = _sigmoid(jnp.clip(x_false - x_true, -10, 10))[:, None]
+        # scatter V updates over all basket rows (padded ids -> dropped)
+        V_up = (
+            lr
+            * (
+                (delta * scale)[:, None, :] * (Hi - Hj)[:, None, :]
+                - reg * Vrows
+            )
+            * bmask[..., None]
+        )
+        V = V.at[basket.reshape(-1)].add(V_up.reshape(-1, V_up.shape[-1]))
+        H = H.at[i].add(lr * (delta * scale * Vsum - reg * Hi))
+        H = H.at[j].add(lr * (-delta * scale * Vsum - reg * Hj))
+        d = delta[:, 0]
+        bias = bias.at[i].add(lr * (d - reg * bias[i]))
+        bias = bias.at[j].add(lr * (-d - reg * bias[j]))
+        return V, H, bias, d.mean()
+
+    @staticmethod
+    def _rmse_chunk(reg, alpha, V, H, bias, basket, bmask, item, rating, lr):
+        counts = jnp.maximum(bmask.sum(-1), 1.0)
+        scale = jnp.power(counts, -alpha)[:, None]
+        Vrows = V[jnp.minimum(basket, V.shape[0] - 1)] * bmask[..., None]
+        Vsum = Vrows.sum(axis=1)
+        Hi = H[item]
+        pred = bias[item] + jnp.sum(scale * Vsum * Hi, -1)
+        delta = (rating - pred)[:, None]
+        V_up = (
+            lr
+            * ((delta * scale)[:, None, :] * Hi[:, None, :] - reg * Vrows)
+            * bmask[..., None]
+        )
+        V = V.at[basket.reshape(-1)].add(V_up.reshape(-1, V_up.shape[-1]))
+        H = H.at[item].add(lr * (delta * scale * Vsum - reg * Hi))
+        bias = bias.at[item].add(lr * (delta[:, 0] - reg * bias[item]))
+        return V, H, bias, jnp.abs(delta[:, 0]).mean()
+
+    # ------------------------------------------------------------------
+    def _sample_baskets(self, n):
+        users = self._sample_users(n)
+        rows, trues, falses = [], np.empty(n, dtype=np.int64), None
+        full_rows = []
+        for s, u in enumerate(users):
+            r = self.items[self.users[u, 0] : self.users[u, 0] + self.users[u, 1]]
+            true_item = self.rng.choice(r)
+            trues[s] = true_item
+            full_rows.append(r)
+            rows.append(r[r != true_item])  # leave-one-out by value
+        falses = self._uniform_negatives(full_rows, n)
+        return rows, trues, falses
+
+    def training_step(self, iterations):
+        n = self.samples_per_step
+        rows, trues, falses = self._sample_baskets(n)
+        pad = _bucket(max(len(r) for r in rows))
+        basket, bmask = _pad_rows(rows, pad, self.n_items)
+        if self.loss == "BPR":
+            self.V, self.H, self.bias, cost = self._step(
+                self.V, self.H, self.bias, basket, bmask, trues, falses,
+                np.float32(self.learning_rate),
+            )
+        else:
+            # 1:3 positive:negative mix (fism.py:118-126)
+            pos = self.rng.random(n) < 0.25
+            items = np.where(pos, trues, falses)
+            ratings = pos.astype(np.float32)
+            self.V, self.H, self.bias, cost = self._step(
+                self.V, self.H, self.bias, basket, bmask, items, ratings,
+                np.float32(self.learning_rate),
+            )
+        return float(cost), n
+
+    def item_score(self, user_items):
+        V, H, bias = np.asarray(self.V), np.asarray(self.H), np.asarray(self.bias)
+        return bias + np.power(len(user_items), -self.alpha) * (
+            V[user_items].sum(axis=0) @ H.T
+        )
+
+    def top_k_recommendations(self, sequence, user_id=None, k=10, exclude=None):
+        if exclude is None:
+            exclude = []
+        user_items = [i[0] for i in sequence]
+        output = self.item_score(user_items)
+        output[user_items] = -np.inf
+        output[list(exclude)] = -np.inf
+        return list(np.argpartition(-output, range(k))[:k])
+
+    def save(self, filename):
+        self._save_arrays(filename, V=self.V, H=self.H, bias=self.bias)
+
+    def load(self, filename):
+        f = np.load(filename)
+        self.V = jnp.asarray(f["V"])
+        self.H = jnp.asarray(f["H"])
+        self.bias = jnp.asarray(f["bias"])
+        self.init_model.__func__  # keep linters quiet
+        if self.loss == "BPR":
+            self._step = jax.jit(
+                partial(self._auc_chunk, self.reg, self.alpha), donate_argnums=(0, 1, 2)
+            )
+        else:
+            self._step = jax.jit(
+                partial(self._rmse_chunk, self.reg, self.alpha), donate_argnums=(0, 1, 2)
+            )
+
+
+# ======================================================================
+class Fossil(MFBase):
+    """FISM + factorized higher-order Markov chains (He & McAuley'16).
+    Parity: fossil.py."""
+
+    def __init__(self, k=32, order=1, alpha=0.2, **kwargs):
+        super().__init__(**kwargs)
+        self.name = "Fossil"
+        self.k = k
+        self.order = order
+        self.alpha = alpha
+
+    def _get_model_filename(self, epochs):
+        return (
+            "fossil_ne" + str(epochs) + "_lr" + str(self.init_learning_rate)
+            + "_an" + str(self.annealing_rate) + "_k" + str(self.k)
+            + "_o" + str(self.order) + "_reg" + str(self.reg)
+            + "_ini" + str(self.init_sigma) + ".npz"
+        )
+
+    def init_model(self):
+        s = self.init_sigma
+        rnd = self.rng.standard_normal
+        self.V = jnp.asarray(s * rnd((self.n_items, self.k)), jnp.float32)
+        self.H = jnp.asarray(s * rnd((self.n_items, self.k)), jnp.float32)
+        self.eta = jnp.asarray(s * rnd((self.n_users, self.order)), jnp.float32)
+        self.eta_bias = jnp.zeros(self.order, jnp.float32)
+        self.bias = jnp.zeros(self.n_items, jnp.float32)
+        self._step = jax.jit(
+            partial(self._sgd_chunk, self.reg, self.alpha, self.order),
+            donate_argnums=(0, 1, 2, 3, 4),
+        )
+
+    @staticmethod
+    def _sgd_chunk(reg, alpha, order, V, H, bias, eta, eta_bias, basket, bmask, recent, rmask, u, i, j, lr):
+        """basket: prefix items before the target (excl. target);
+        recent: the last ``order`` of them, most recent first."""
+        counts = jnp.maximum(bmask.sum(-1), 1.0)
+        scale = jnp.power(counts, -alpha)[:, None]
+        Vrows = V[jnp.minimum(basket, V.shape[0] - 1)] * bmask[..., None]
+        long_term = scale * Vrows.sum(axis=1)
+
+        w = (eta_bias + eta[u]) * rmask  # [N, order]
+        Vrecent = V[jnp.minimum(recent, V.shape[0] - 1)] * rmask[..., None]
+        short_term = jnp.einsum("no,nok->nk", w, Vrecent)
+
+        rep = long_term + short_term
+        Hi, Hj = H[i], H[j]
+        x_true = bias[i] + jnp.sum(rep * Hi, -1)
+        x_false = bias[j] + jnp.sum(rep * Hj, -1)
+        delta = _sigmoid(jnp.clip(x_false - x_true, -10, 10))[:, None]
+        dH = Hi - Hj
+
+        V_up = (
+            lr * ((delta * scale)[:, None, :] * dH[:, None, :] - reg * Vrows)
+            * bmask[..., None]
+        )
+        V = V.at[basket.reshape(-1)].add(V_up.reshape(-1, V_up.shape[-1]))
+        V_up2 = lr * delta[:, None, :] * (w[..., None] * dH[:, None, :]) * rmask[..., None]
+        V = V.at[recent.reshape(-1)].add(V_up2.reshape(-1, V_up2.shape[-1]))
+
+        H = H.at[i].add(lr * (delta * rep - reg * Hi))
+        H = H.at[j].add(lr * (-delta * rep - reg * Hj))
+        d = delta[:, 0]
+        bias = bias.at[i].add(lr * (d - reg * bias[i]))
+        bias = bias.at[j].add(lr * (-d - reg * bias[j]))
+
+        grad_eta = jnp.einsum("nok,nk->no", Vrecent, dH)  # [N, order]
+        eta_bias = eta_bias + (
+            lr * (delta * grad_eta - reg * eta_bias * rmask)
+        ).sum(axis=0)
+        eta = eta.at[u].add(lr * (delta * grad_eta - reg * eta[u] * rmask))
+        return V, H, bias, eta, eta_bias, d.mean()
+
+    # ------------------------------------------------------------------
+    def _sample_chunk(self, n):
+        users = self._sample_users(n)
+        prefixes, trues = [], np.empty(n, dtype=np.int64)
+        full = []
+        for s, u in enumerate(users):
+            r = self.items[self.users[u, 0] : self.users[u, 0] + self.users[u, 1]]
+            t = self.rng.integers(1, len(r))
+            trues[s] = r[t]
+            prefixes.append(r[:t])
+            full.append(r[: t + 1])
+        falses = self._uniform_negatives(full, n)
+        return users, prefixes, trues, falses
+
+    def training_step(self, iterations):
+        n = self.samples_per_step
+        users, prefixes, trues, falses = self._sample_chunk(n)
+        pad = _bucket(max(len(r) for r in prefixes))
+        basket, bmask = _pad_rows(prefixes, pad, self.n_items)
+        recents = [r[::-1][: self.order] for r in prefixes]
+        recent, rmask = _pad_rows(recents, self.order, self.n_items)
+        (
+            self.V,
+            self.H,
+            self.bias,
+            self.eta,
+            self.eta_bias,
+            cost,
+        ) = self._step(
+            self.V, self.H, self.bias, self.eta, self.eta_bias,
+            basket, bmask, recent, rmask, users, trues, falses,
+            np.float32(self.learning_rate),
+        )
+        return float(cost), n
+
+    def item_score(self, user_id, user_items):
+        V, H, bias = np.asarray(self.V), np.asarray(self.H), np.asarray(self.bias)
+        eta, eta_bias = np.asarray(self.eta), np.asarray(self.eta_bias)
+        long_term = np.power(len(user_items), -self.alpha) * V[user_items].sum(axis=0)
+        effective_order = min(self.order, len(user_items))
+        if user_id is None:
+            w = (eta_bias + eta.mean(axis=0))[:effective_order]
+        else:
+            w = (eta_bias + eta[user_id])[:effective_order]
+        short_term = w @ V[user_items[: -effective_order - 1 : -1]]
+        return bias + (long_term + short_term) @ H.T
+
+    def top_k_recommendations(self, sequence, user_id=None, k=10, exclude=None):
+        if exclude is None:
+            exclude = []
+        user_items = [i[0] for i in sequence]
+        output = self.item_score(user_id, user_items)
+        output[user_items] = -np.inf
+        output[list(exclude)] = -np.inf
+        return list(np.argpartition(-output, range(k))[:k])
+
+    def save(self, filename):
+        self._save_arrays(
+            filename, V=self.V, H=self.H, bias=self.bias, eta=self.eta, eta_bias=self.eta_bias
+        )
+
+    def load(self, filename):
+        f = np.load(filename)
+        self.V = jnp.asarray(f["V"])
+        self.H = jnp.asarray(f["H"])
+        self.bias = jnp.asarray(f["bias"])
+        self.eta = jnp.asarray(f["eta"])
+        self.eta_bias = jnp.asarray(f["eta_bias"])
+        self._step = jax.jit(
+            partial(self._sgd_chunk, self.reg, self.alpha, self.order),
+            donate_argnums=(0, 1, 2, 3, 4),
+        )

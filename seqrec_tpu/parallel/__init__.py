@@ -1,0 +1,15 @@
+from seqrec_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_sharding,
+    shard_batch,
+    shard_params,
+)
+
+__all__ = [
+    "make_mesh",
+    "param_sharding",
+    "batch_sharding",
+    "shard_params",
+    "shard_batch",
+]

@@ -1,0 +1,115 @@
+"""Device mesh + sharding rules for the RNN family.
+
+The reference is strictly single-device (SURVEY.md §2.9); this module is
+the green-field TPU scaling design mandated by BASELINE.json's north star:
+
+- 2-D logical mesh ``("data", "model")``. Dense recurrent towers are
+  replicated and run data-parallel over the batch axis; the two big
+  catalog-sized tables shard over "model":
+
+  * the sparse input table ``W_in`` of the first recurrent layer (rows =
+    item/feature ids) → row-sharded ``P("model", None)``;
+  * the output/softmax table ``W_out`` (columns = items) → column-sharded
+    ``P(None, "model")`` with its bias ``P("model")``.
+
+- Under jit, GSPMD propagates these shardings through the gather-sum,
+  the time scan and the loss; the full-softmax log-sum-exp becomes a
+  partial reduction + psum over "model", and batch collectives (grad
+  all-reduce) ride the "data" axis. Collectives ride ICI when the mesh
+  is laid out within a slice.
+
+All helpers are device-count agnostic: they work identically on a real
+pod slice and on the virtual CPU mesh used by the test suite
+(``--xla_force_host_platform_device_count``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int | None = None, n_model: int | None = None, devices=None) -> Mesh:
+    """Build a ("data", "model") mesh over the given devices.
+
+    With only a total device count available the default split puts the
+    catalog ("model") axis innermost so its collectives ride the
+    fastest links.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n_data is None and n_model is None:
+        # favor model-sharding the catalog tables on small meshes
+        n_model = 1
+        for cand in (8, 4, 2, 1):
+            if n % cand == 0:
+                n_model = cand
+                break
+        n_data = n // n_model
+    elif n_data is None:
+        n_data = n // n_model
+    elif n_model is None:
+        n_model = n // n_data
+    if n_data * n_model != n:
+        raise ValueError(f"mesh {n_data}x{n_model} != {n} devices")
+    arr = np.array(devices).reshape(n_data, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
+# ----------------------------------------------------------------------
+# sharding rules
+# ----------------------------------------------------------------------
+def _spec_for_param(path: tuple, leaf) -> P:
+    """Sharding spec by parameter path within the model pytree."""
+    keys = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    name = keys[-1] if keys else ""
+    # catalog-sized output tables
+    if name == "W_out":
+        return P(None, "model")
+    if name == "b_out":
+        return P("model")
+    # item-id-indexed input tables: first recurrent layer in sparse mode,
+    # or the explicit embedding table
+    if name == "embedding":
+        return P("model", None)
+    if name == "W_in" and any(k == "layer0_fwd" or k == "layer0_bwd" for k in keys):
+        return P("model", None)
+    # cluster / factorization item tables (row = item)
+    if name in ("item_embeddings", "cluster_repartition", "V", "H", "item_bias"):
+        return P("model") if np.ndim(leaf) == 1 else P("model", None)
+    return P()  # replicate dense tower weights
+
+
+def param_sharding(params, mesh: Mesh):
+    """NamedSharding pytree for a model parameter pytree."""
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    specs = [
+        NamedSharding(mesh, _spec_for_param(path, leaf)) for path, leaf in flat[0]
+    ]
+    return jax.tree_util.tree_unflatten(flat[1], specs)
+
+
+def batch_sharding(batch: dict, mesh: Mesh):
+    """Batch arrays shard over "data" on their leading (batch) axis;
+    batch-independent arrays (shared negative samples, default targets)
+    replicate."""
+    replicated = {"samples", "default_target", "cluster_samples"}
+    out = {}
+    for k, v in batch.items():
+        if k in replicated or np.ndim(v) == 0:
+            out[k] = NamedSharding(mesh, P())
+        else:
+            out[k] = NamedSharding(
+                mesh, P("data", *([None] * (np.ndim(v) - 1)))
+            )
+    return out
+
+
+def shard_params(params, mesh: Mesh):
+    return jax.device_put(params, param_sharding(params, mesh))
+
+
+def shard_batch(batch: dict, mesh: Mesh):
+    return jax.device_put(batch, batch_sharding(batch, mesh))

@@ -1,0 +1,242 @@
+"""Factorization family: SGD-step oracles vs numpy (SURVEY.md §4 point 3)
+and convergence smoke tests."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from seqrec_tpu.models.factorization import BPRMF, FISM, FPMC, Fossil
+
+
+def sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+# ----------------------------------------------------------------------
+# single-sample step oracles (chunk of size 1 == reference sgd_step)
+# ----------------------------------------------------------------------
+def test_bprmf_sgd_step_oracle():
+    rng = np.random.default_rng(0)
+    n_users, n_items, k = 5, 7, 4
+    V = rng.normal(size=(n_users, k)).astype(np.float32)
+    H = rng.normal(size=(n_items, k)).astype(np.float32)
+    bias = rng.normal(size=n_items).astype(np.float32)
+    u, i, j, lr, reg = 2, 3, 5, 0.1, 0.01
+
+    # numpy reference (bprmf.py:43-64)
+    x_true = bias[i] + V[u] @ H[i]
+    x_false = bias[j] + V[u] @ H[j]
+    delta = 1 - 1 / (1 + np.exp(min(10, max(-10, x_false - x_true))))
+    Ve, He, be = V.copy(), H.copy(), bias.copy()
+    V_mem = Ve[u].copy()
+    Ve[u] += lr * (delta * (He[i] - He[j]) - reg * Ve[u])
+    He[i] += lr * (delta * V_mem - reg * He[i])
+    He[j] += lr * (-delta * V_mem - reg / 10 * He[j])
+    be[i] += lr * (delta - reg * be[i])
+    be[j] += lr * (-delta - reg * be[j])
+
+    Vg, Hg, bg, cost = BPRMF._sgd_chunk(
+        reg,
+        jnp.asarray(V),
+        jnp.asarray(H),
+        jnp.asarray(bias),
+        np.array([u]),
+        np.array([i]),
+        np.array([j]),
+        np.float32(lr),
+    )
+    np.testing.assert_allclose(np.asarray(Vg), Ve, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(Hg), He, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(bg), be, rtol=1e-5)
+    assert np.isclose(float(cost), delta, rtol=1e-5)
+
+
+def test_fpmc_sgd_step_oracle():
+    rng = np.random.default_rng(1)
+    n_users, n_items, kcf, kmc = 4, 6, 3, 2
+    VUI = rng.normal(size=(n_users, kcf)).astype(np.float32)
+    VIU = rng.normal(size=(n_items, kcf)).astype(np.float32)
+    VPN = rng.normal(size=(n_items, kmc)).astype(np.float32)
+    VNP = rng.normal(size=(n_items, kmc)).astype(np.float32)
+    u, p, i, j, lr, reg = 1, 0, 2, 4, 0.05, 0.002
+
+    x_true = VUI[u] @ VIU[i] + VPN[p] @ VNP[i]
+    x_false = VUI[u] @ VIU[j] + VPN[p] @ VNP[j]
+    delta = 1 - 1 / (1 + np.exp(min(10, max(-10, x_false - x_true))))
+    a, b, c, d = VUI.copy(), VIU.copy(), VPN.copy(), VNP.copy()
+    VUI_mem, VPN_mem = a[u].copy(), c[p].copy()
+    a[u] += lr * (delta * (b[i] - b[j]) - reg * a[u])
+    b[i] += lr * (delta * VUI_mem - reg * b[i])
+    b[j] += lr * (-delta * VUI_mem - reg * b[j])
+    c[p] += lr * (delta * (d[i] - d[j]) - reg * c[p])
+    d[i] += lr * (delta * VPN_mem - reg * d[i])
+    d[j] += lr * (-delta * VPN_mem - reg * d[j])
+
+    ag, bg, cg, dg, cost = FPMC._sgd_chunk(
+        reg,
+        jnp.asarray(VUI), jnp.asarray(VIU), jnp.asarray(VPN), jnp.asarray(VNP),
+        np.array([u]), np.array([p]), np.array([i]), np.array([j]),
+        np.float32(lr),
+    )
+    np.testing.assert_allclose(np.asarray(ag), a, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(bg), b, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(cg), c, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dg), d, rtol=1e-5)
+    assert np.isclose(float(cost), delta, rtol=1e-5)
+
+
+def test_fism_auc_step_oracle():
+    rng = np.random.default_rng(2)
+    n_items, k, alpha, lr, reg = 8, 3, 0.5, 0.1, 0.01
+    V = rng.normal(size=(n_items, k)).astype(np.float32)
+    H = rng.normal(size=(n_items, k)).astype(np.float32)
+    bias = rng.normal(size=n_items).astype(np.float32)
+    basket = np.array([1, 2, 4])  # true item already excluded
+    i, j = 5, 6
+
+    scale = len(basket) ** (-alpha)
+    Vsum = V[basket].sum(axis=0)
+    x_true = bias[i] + scale * Vsum @ H[i]
+    x_false = bias[j] + scale * Vsum @ H[j]
+    delta = 1 - 1 / (1 + np.exp(min(10, max(-10, x_false - x_true))))
+    Ve, He, be = V.copy(), H.copy(), bias.copy()
+    Ve[basket] += lr * (delta * scale * (He[i] - He[j]) - reg * Ve[basket])
+    He[i] += lr * (delta * scale * Vsum - reg * He[i])
+    He[j] += lr * (-delta * scale * Vsum - reg * He[j])
+    be[i] += lr * (delta - reg * be[i])
+    be[j] += lr * (-delta - reg * be[j])
+
+    pad = 4
+    basket_p = np.full((1, pad), n_items, dtype=np.int64)
+    basket_p[0, :3] = basket
+    bmask = np.zeros((1, pad), dtype=np.float32)
+    bmask[0, :3] = 1
+    Vg, Hg, bg, cost = FISM._auc_chunk(
+        reg, alpha,
+        jnp.asarray(V), jnp.asarray(H), jnp.asarray(bias),
+        basket_p, bmask, np.array([i]), np.array([j]), np.float32(lr),
+    )
+    np.testing.assert_allclose(np.asarray(Vg), Ve, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Hg), He, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(bg), be, rtol=1e-4, atol=1e-6)
+    assert np.isclose(float(cost), delta, rtol=1e-4)
+
+
+def test_fossil_step_oracle():
+    rng = np.random.default_rng(3)
+    n_users, n_items, k, order, alpha, lr, reg = 3, 9, 4, 2, 0.2, 0.05, 0.001
+    V = rng.normal(size=(n_items, k)).astype(np.float32)
+    H = rng.normal(size=(n_items, k)).astype(np.float32)
+    eta = rng.normal(size=(n_users, order)).astype(np.float32)
+    eta_bias = rng.normal(size=order).astype(np.float32)
+    bias = rng.normal(size=n_items).astype(np.float32)
+    u = 1
+    prefix = np.array([2, 5, 7])  # user_items without the true item
+    i, j = 4, 8
+
+    # numpy reference (fossil.py:58-96), effective_order = order = 2
+    eff = order
+    scale = len(prefix) ** (-alpha)
+    long_term = scale * V[prefix].sum(axis=0)
+    recent = prefix[: -eff - 1 : -1]  # [7, 5]
+    w = (eta_bias + eta[u])[:eff]
+    short_term = w @ V[recent]
+    x_true = bias[i] + (long_term + short_term) @ H[i]
+    x_false = bias[j] + (long_term + short_term) @ H[j]
+    delta = 1 / (1 + np.exp(-min(10, max(-10, x_false - x_true))))
+    Ve, He, be = V.copy(), H.copy(), bias.copy()
+    ee, ebe = eta.copy(), eta_bias.copy()
+    dH = He[i] - He[j]
+    V_update = lr * (delta * scale * dH - reg * Ve[prefix])
+    V_update2 = lr * delta * np.outer(w, dH)
+    H_true = lr * (delta * (long_term + short_term) - reg * He[i])
+    H_false = lr * (-delta * (long_term + short_term) - reg * He[j])
+    eta_bias_up = lr * (delta * (V[recent] @ dH) - reg * ebe[:eff])
+    eta_up = lr * (delta * (V[recent] @ dH) - reg * ee[u, :eff])
+    Ve[prefix] += V_update
+    Ve[recent] += V_update2
+    He[i] += H_true
+    He[j] += H_false
+    be[i] += lr * (delta - reg * be[i])
+    be[j] += lr * (-delta - reg * be[j])
+    ebe[:eff] += eta_bias_up
+    ee[u, :eff] += eta_up
+
+    pad = 4
+    basket_p = np.full((1, pad), n_items, dtype=np.int64)
+    basket_p[0, :3] = prefix
+    bmask = np.zeros((1, pad), dtype=np.float32)
+    bmask[0, :3] = 1
+    recent_p = np.full((1, order), n_items, dtype=np.int64)
+    recent_p[0, :] = recent
+    rmask = np.ones((1, order), dtype=np.float32)
+    Vg, Hg, bg, eg, ebg, cost = Fossil._sgd_chunk(
+        reg, alpha, order,
+        jnp.asarray(V), jnp.asarray(H), jnp.asarray(bias),
+        jnp.asarray(eta), jnp.asarray(eta_bias),
+        basket_p, bmask, recent_p, rmask,
+        np.array([u]), np.array([i]), np.array([j]), np.float32(lr),
+    )
+    np.testing.assert_allclose(np.asarray(Hg), He, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(bg), be, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Vg), Ve, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ebg), ebe, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(eg), ee, rtol=1e-4, atol=1e-6)
+    assert np.isclose(float(cost), delta, rtol=1e-4)
+
+
+# ----------------------------------------------------------------------
+# convergence smoke tests
+# ----------------------------------------------------------------------
+def _fit(model, handler, iters=6000):
+    model.prepare_model(handler)
+    res, _, _ = model.train(
+        handler, max_iter=iters, progress=iters, autosave="None", save_dir=""
+    )
+    return res
+
+
+@pytest.mark.parametrize(
+    "factory",
+    [
+        lambda: BPRMF(k=16, learning_rate=0.2, adaptive_sampling=False, init_sigma=0.1, seed=0),
+        lambda: FPMC(k_cf=8, k_mc=8, learning_rate=0.2, adaptive_sampling=False, init_sigma=0.1, seed=0),
+        lambda: Fossil(k=8, order=1, learning_rate=0.2, init_sigma=0.1, seed=0),
+    ],
+    ids=["bprmf", "fpmc", "fossil"],
+)
+def test_mf_models_learn(synthetic_handler, factory):
+    model = factory()
+    res = _fit(model, synthetic_handler)
+    assert res["sps"] is not None
+    # sanity: better than random guessing (10/60 items ≈ 0.17 would already
+    # be strong; require clearly non-trivial signal)
+    assert res["sps"] >= 0.1, res
+
+
+def test_fism_runs_and_saves(synthetic_handler, tmp_path):
+    model = FISM(k=8, loss="BPR", learning_rate=0.1, init_sigma=0.1, seed=0)
+    model.prepare_model(synthetic_handler)
+    res, _, fn = model.train(
+        synthetic_handler,
+        max_iter=2000,
+        progress=2000,
+        autosave="All",
+        save_dir=str(tmp_path) + "/",
+    )
+    assert res["sps"] is not None
+    model2 = FISM(k=8, loss="BPR", seed=1)
+    model2.prepare_model(synthetic_handler)
+    model2.load(fn)
+    np.testing.assert_allclose(np.asarray(model.V), np.asarray(model2.V))
+
+
+def test_bprmf_adaptive_sampling_runs(synthetic_handler):
+    model = BPRMF(k=8, learning_rate=0.1, adaptive_sampling=True, sampling_bias=20, init_sigma=0.1, seed=0)
+    model.samples_per_step = 64
+    model.prepare_model(synthetic_handler)
+    model.change_data_format(synthetic_handler)
+    model.init_model()
+    cost, n = model.training_step(0)
+    assert n == 64 and 0.0 <= cost <= 1.0

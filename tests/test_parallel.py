@@ -1,0 +1,87 @@
+"""Multi-device sharding: train-step parity on the 8-device CPU mesh.
+
+The reference has no distributed path (SURVEY.md §2.9); the oracle here is
+numerical consistency between the single-device and mesh-sharded train
+steps (SURVEY.md §4 point 5).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from seqrec_tpu.models.recurrent import RecurrentLayers
+from seqrec_tpu.models.rnn_one_hot import RNNOneHot
+from seqrec_tpu.models.updates import Adam
+from seqrec_tpu.parallel import make_mesh, shard_batch, shard_params
+
+
+@pytest.fixture(scope="module")
+def devices():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return devs
+
+
+def _make_model(handler, seed=0):
+    model = RNNOneHot(
+        recurrent_layer=RecurrentLayers(layer_type="GRU", layers=[16]),
+        updater=Adam(0.01),
+        max_length=12,
+        batch_size=16,
+        seed=seed,
+    )
+    model.prepare_model(handler)
+    model.set_dataset(handler)
+    model.params = model._init_params()
+    model._build_functions()
+    model.opt_state = model._opt.init(model.params)
+    return model
+
+
+def _make_batch(model, handler):
+    gen = model._gen_mini_batch(handler.training_set(epochs=10))
+    return next(gen)
+
+
+def test_mesh_shapes(devices):
+    mesh = make_mesh(devices=devices)
+    assert mesh.shape["data"] * mesh.shape["model"] == 8
+    mesh2 = make_mesh(n_data=4, n_model=2, devices=devices)
+    assert mesh2.shape == {"data": 4, "model": 2}
+
+
+def test_sharded_train_step_matches_single_device(synthetic_handler, devices):
+    mesh = make_mesh(n_data=2, n_model=4, devices=devices)
+
+    model_a = _make_model(synthetic_handler, seed=0)
+    model_b = _make_model(synthetic_handler, seed=0)
+    batch = _make_batch(model_a, synthetic_handler)
+
+    # single device step
+    pa, oa, cost_a = model_a._train_step(model_a.params, model_a.opt_state, batch)
+
+    # sharded step: same jitted function, sharded inputs
+    params_s = shard_params(model_b.params, mesh)
+    opt_s = jax.device_put(model_b.opt_state)  # replicated
+    batch_s = shard_batch(batch, mesh)
+    pb, ob, cost_b = model_b._train_step(params_s, opt_s, batch_s)
+
+    assert np.isclose(float(cost_a), float(cost_b), rtol=1e-5)
+    wa = np.asarray(pa["W_out"])
+    wb = np.asarray(pb["W_out"])
+    np.testing.assert_allclose(wa, wb, rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_params_layout(devices, synthetic_handler):
+    mesh = make_mesh(n_data=2, n_model=4, devices=devices)
+    model = _make_model(synthetic_handler, seed=1)
+    params_s = shard_params(model.params, mesh)
+    wout_sh = params_s["W_out"].sharding.spec
+    assert tuple(wout_sh) == (None, "model")
+    win_sh = params_s["tower"]["layer0_fwd"]["W_in"].sharding.spec
+    assert tuple(win_sh) == ("model", None)
+    # dense hidden weights replicated
+    whid_sh = params_s["tower"]["layer0_fwd"]["W_hid"].sharding.spec
+    assert tuple(whid_sh) == ()
