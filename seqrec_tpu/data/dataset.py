@@ -231,6 +231,10 @@ class DataHandler:
     # ------------------------------------------------------------------
     @staticmethod
     def _get_path(dirname: str) -> str:
+        if os.path.isabs(dirname):
+            if os.path.exists(dirname):
+                return dirname if dirname.endswith("/") else dirname + "/"
+            raise ValueError("Dataset not found")
         prefixed = os.path.join(DEFAULT_DIR, dirname) + "/"
         if os.path.exists(dirname) and not os.path.exists(prefixed):
             return dirname if dirname.endswith("/") else dirname + "/"

@@ -41,6 +41,18 @@ from seqrec_tpu.ops.core import gather_sum, maybe_grad_clip
 GATE_COUNT = {"GRU": 3, "LSTM": 4, "Vanilla": 1}
 
 
+def _pallas_available() -> bool:
+    """Fused Pallas kernels run on TPU only (XLA scan elsewhere)."""
+    import os
+
+    if os.environ.get("SEQREC_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover - backend init failure
+        return False
+
+
 def recurrent_layers_command_parser(parser) -> None:
     parser.add_argument(
         "--r_t",
@@ -157,6 +169,7 @@ class RecurrentLayers:
         mask,
         id_mask=None,
         only_return_final: bool = True,
+        fast: bool = False,
     ):
         """Run the stack.
 
@@ -192,14 +205,17 @@ class RecurrentLayers:
                 x = jnp.concatenate([f, b], axis=-1)
             else:
                 x = self._run_layer(
-                    params[f"layer{li}_fwd"], x, mask, id_mask, sparse, orf, False
+                    params[f"layer{li}_fwd"], x, mask, id_mask, sparse, orf, False,
+                    fast=fast,
                 )
             sparse = False  # deeper layers are densely encoded
             id_mask = None
         return x
 
     # ------------------------------------------------------------------
-    def _run_layer(self, lp, x, mask, id_mask, sparse, only_return_final, backwards):
+    def _run_layer(
+        self, lp, x, mask, id_mask, sparse, only_return_final, backwards, fast=False
+    ):
         """One unidirectional recurrent layer over time."""
         # Precompute the input contribution for every timestep at once:
         # sparse mode = the OHE gather-sum trick; dense mode = one big matmul.
@@ -213,6 +229,21 @@ class RecurrentLayers:
                 + lp["b"]
             )
         x_pre = maybe_grad_clip(x_pre, self.grad_clip)
+
+        # Fused Pallas time scan on TPU (forward/serving path only — the
+        # kernel has no VJP; training and CPU use the lax.scan below).
+        if (
+            fast
+            and only_return_final
+            and not backwards
+            and self.layer_type == "GRU"
+            and _pallas_available()
+        ):
+            from seqrec_tpu.ops.pallas_rnn import gru_scan
+
+            B = x_pre.shape[0]
+            h0 = jnp.broadcast_to(lp["h0"], (B, lp["h0"].shape[0]))
+            return gru_scan(x_pre, mask, lp["W_hid"], h0)
 
         B = x_pre.shape[0]
         if backwards:

@@ -120,7 +120,7 @@ class RNNMargin(RNNBase):
         return loss.mean()
 
     def _scores(self, params, ids, id_mask, mask):
-        h = self.recurrent_layer.apply(params["tower"], ids, mask, id_mask)
+        h = self.recurrent_layer.apply(params["tower"], ids, mask, id_mask, fast=True)
         return (
             jnp.dot(h, params["W_out"], preferred_element_type=jnp.float32)
             + params["b_out"]

@@ -58,8 +58,8 @@ class RNNOneHot(RNNBase):
         }
 
     # ------------------------------------------------------------------
-    def _logits(self, params, ids, id_mask, mask):
-        h = self.recurrent_layer.apply(params["tower"], ids, mask, id_mask)
+    def _logits(self, params, ids, id_mask, mask, fast=False):
+        h = self.recurrent_layer.apply(params["tower"], ids, mask, id_mask, fast=fast)
         return (
             jnp.dot(h, params["W_out"], preferred_element_type=jnp.float32)
             + params["b_out"]
@@ -78,7 +78,7 @@ class RNNOneHot(RNNBase):
 
     def _scores(self, params, ids, id_mask, mask):
         # deterministic output = softmax over the catalog (rnn_one_hot.py:65)
-        return jax.nn.softmax(self._logits(params, ids, id_mask, mask), axis=-1)
+        return jax.nn.softmax(self._logits(params, ids, id_mask, mask, fast=True), axis=-1)
 
     # ------------------------------------------------------------------
     def _prepare_input(self, sequences):

@@ -98,7 +98,7 @@ class RNNSampling(RNNBase):
         return (per_example / batch["target_pop"]).mean()
 
     def _scores(self, params, ids, id_mask, mask):
-        h = self.recurrent_layer.apply(params["tower"], ids, mask, id_mask)
+        h = self.recurrent_layer.apply(params["tower"], ids, mask, id_mask, fast=True)
         logits = (
             jnp.dot(h, params["W_out"], preferred_element_type=jnp.float32)
             + params["b_out"]

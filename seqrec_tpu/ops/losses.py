@@ -67,7 +67,35 @@ def top1_loss(scores: jax.Array, batch_size: int) -> jax.Array:
     return (jax.nn.sigmoid(diff) + jax.nn.sigmoid(reg)).mean(axis=-1)
 
 
+def cce_sampled_loss(scores: jax.Array, batch_size: int) -> jax.Array:
+    """CCE over the sampled score matrix (rnn_cluster.py:158-162)."""
+    logp = jax.nn.log_softmax(scores, axis=-1)
+    return -jnp.diagonal(logp[:, :batch_size])
+
+
+def lin_loss(scores: jax.Array, batch_size: int) -> jax.Array:
+    """Linear loss: Σ samples − own target (rnn_cluster.py:164-167)."""
+    diag = jnp.diagonal(scores[:, :batch_size])
+    return scores[:, batch_size:].sum(axis=-1) - diag
+
+
+def bprelu_loss(scores: jax.Array, batch_size: int) -> jax.Array:
+    """Leaky-relu approximation of BPR (rnn_cluster.py:173-175)."""
+    diag = jnp.diagonal(scores[:, :batch_size])
+    diff = scores[:, batch_size:] - diag[:, None]
+    return jax.nn.leaky_relu(diff + 0.5, negative_slope=0.01).mean(axis=-1)
+
+
 SAMPLED_LOSSES = {"Blackout": blackout_loss, "BPR": bpr_loss, "TOP1": top1_loss}
+
+CLUSTER_LOSSES = {
+    "Blackout": blackout_loss,
+    "CCE": cce_sampled_loss,
+    "lin": lin_loss,
+    "BPR": bpr_loss,
+    "BPRelu": bprelu_loss,
+    "TOP1": top1_loss,
+}
 
 
 # ----------------------------------------------------------------------

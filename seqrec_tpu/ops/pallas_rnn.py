@@ -1,0 +1,103 @@
+"""Pallas TPU kernel: fused GRU scan over time.
+
+The recurrent hot loop of the framework (SURVEY.md §3.1): given the
+precomputed input contributions ``x_pre[B, L, 3H]`` (the gather-sum of the
+sparse input table — sparse_lstm.py:755's ``x·W_in`` trick), advance the
+hidden state through all ``L`` timesteps.
+
+The XLA `lax.scan` version writes the carry to HBM between steps once
+shapes grow; this kernel keeps the hidden state, the ``W_hid`` gate matrix
+and one batch-tile of ``x_pre`` resident in VMEM for the whole sequence,
+so the only HBM traffic is the initial tile load and the final state
+store. Grid is over batch tiles; each program runs a ``fori_loop`` over
+time with one fused ``[TB,H]·[H,3H]`` MXU matmul per step.
+
+Forward-only: training uses the XLA scan (autodiff through a Pallas
+fori_loop would need a custom VJP with stashed activations); evaluation
+and serving — where the framework spends most of its device time during
+validation sweeps — use this kernel. Equivalence with the scan path is
+asserted in tests (interpret mode on CPU).
+
+Gate math parity with seqrec_tpu.models.recurrent.RecurrentLayers._gru_step
+(Lasagne GRU formulation, gate order reset|update|candidate; masked steps
+carry the previous state through).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gru_scan_kernel(x_ref, mask_ref, w_ref, h0_ref, out_ref, *, seq_len: int):
+    """One batch tile: x [L, TB, 3H], mask [L, TB], w [H, 3H], h0/out [TB, H].
+
+    Time is the LEADING (untiled) dimension so the per-step dynamic index
+    stays off the sublane/lane dims (a Mosaic layout requirement)."""
+    H = h0_ref.shape[-1]
+
+    def step(t, h):
+        x_t = x_ref[t]  # [TB, 3H]
+        hid = jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32)  # [TB, 3H]
+        r = jax.nn.sigmoid(x_t[:, :H] + hid[:, :H])
+        u = jax.nn.sigmoid(x_t[:, H : 2 * H] + hid[:, H : 2 * H])
+        c = jnp.tanh(x_t[:, 2 * H :] + r * hid[:, 2 * H :])
+        h_new = (1.0 - u) * h + u * c
+        m = mask_ref[t][:, None]
+        return jnp.where(m > 0, h_new, h)
+
+    out_ref[:] = jax.lax.fori_loop(0, seq_len, step, h0_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def gru_scan(x_pre, mask, w_hid, h0, *, block_b: int = 128, interpret: bool = False):
+    """Fused GRU forward over time.
+
+    x_pre: [B, L, 3H] precomputed input gate contributions (+ bias).
+    mask:  [B, L] validity mask.
+    w_hid: [H, 3H] hidden-to-gate weights.
+    h0:    [B, H] initial state.
+    Returns final hidden state [B, H].
+
+    ``block_b`` is the batch tile and doubles as the mask lane dimension,
+    so it must be a multiple of 128 (Mosaic tiling constraint); the batch
+    is padded up to a tile multiple.
+    """
+    B, L, G = x_pre.shape
+    H = h0.shape[-1]
+    assert G == 3 * H, (G, H)
+    pad = (-B) % block_b
+    if pad:
+        x_pre = jnp.pad(x_pre, ((0, pad), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, pad), (0, 0)))
+        h0 = jnp.pad(h0, ((0, pad), (0, 0)))
+    Bp = B + pad
+    # time-major layout so the in-kernel dynamic time index hits dim 0
+    x_t_major = jnp.swapaxes(x_pre, 0, 1)  # [L, Bp, 3H]
+    mask_t_major = jnp.swapaxes(mask, 0, 1)  # [L, Bp]
+
+    out = pl.pallas_call(
+        functools.partial(_gru_scan_kernel, seq_len=L),
+        out_shape=jax.ShapeDtypeStruct((Bp, H), x_pre.dtype),
+        grid=(Bp // block_b,),
+        in_specs=[
+            pl.BlockSpec((L, block_b, G), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, block_b), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_b, H), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * L * H * G,
+            bytes_accessed=(Bp * L * G + Bp * L + H * G + 2 * Bp * H) * 4,
+            transcendentals=Bp * L * H * 3,
+        ),
+    )(x_t_major, mask_t_major, w_hid, h0)
+    return out[:B]

@@ -1,0 +1,116 @@
+"""Pallas kernels vs XLA references (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from seqrec_tpu.models.recurrent import RecurrentLayers
+from seqrec_tpu.ops.pallas_rnn import gru_scan
+from seqrec_tpu.ops.pallas_topk import fused_score_topk
+
+
+def _xla_gru_reference(x_pre, mask, w_hid, h0):
+    """Plain lax.scan GRU with the same gate math."""
+    H = h0.shape[-1]
+
+    def step(h, inp):
+        x_t, m = inp
+        hid = h @ w_hid
+        r = jax.nn.sigmoid(x_t[:, :H] + hid[:, :H])
+        u = jax.nn.sigmoid(x_t[:, H : 2 * H] + hid[:, H : 2 * H])
+        c = jnp.tanh(x_t[:, 2 * H :] + r * hid[:, 2 * H :])
+        h_new = (1.0 - u) * h + u * c
+        h = jnp.where(m[:, None] > 0, h_new, h)
+        return h, None
+
+    xs = (jnp.swapaxes(x_pre, 0, 1), jnp.swapaxes(mask, 0, 1))
+    h, _ = jax.lax.scan(step, h0, xs)
+    return h
+
+
+def test_gru_scan_matches_xla():
+    rng = np.random.default_rng(0)
+    B, L, H = 12, 7, 16
+    x_pre = jnp.asarray(rng.normal(size=(B, L, 3 * H)).astype(np.float32))
+    lengths = rng.integers(1, L + 1, size=B)
+    mask = jnp.asarray(
+        (np.arange(L)[None, :] < lengths[:, None]).astype(np.float32)
+    )
+    w_hid = jnp.asarray(rng.normal(0, 0.1, size=(H, 3 * H)).astype(np.float32))
+    h0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+
+    want = np.asarray(_xla_gru_reference(x_pre, mask, w_hid, h0))
+    got = np.asarray(gru_scan(x_pre, mask, w_hid, h0, block_b=8, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_gru_scan_matches_tower():
+    """Kernel output equals RecurrentLayers.apply for a 1-layer GRU."""
+    rl = RecurrentLayers(layer_type="GRU", layers=[8], grad_clipping=0)
+    params = rl.init_params(np.random.default_rng(1), true_input_size=20)
+    lp = params["layer0_fwd"]
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, 20, size=(4, 5, 1)).astype(np.int32)
+    mask = np.ones((4, 5), dtype=np.float32)
+    mask[2, 3:] = 0
+
+    want = np.asarray(rl.apply(params, jnp.asarray(ids), jnp.asarray(mask)))
+
+    x_pre = jnp.asarray(lp["W_in"])[ids[..., 0]] + lp["b"]
+    h0 = jnp.broadcast_to(lp["h0"], (4, 8))
+    got = np.asarray(
+        gru_scan(x_pre, jnp.asarray(mask), jnp.asarray(lp["W_hid"]), h0,
+                 block_b=4, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("n_items", [100, 513])
+def test_fused_score_topk_matches_xla(n_items):
+    rng = np.random.default_rng(3)
+    B, H, k, S = 9, 16, 10, 6
+    h = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(H, n_items)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=n_items).astype(np.float32))
+    seen = rng.integers(0, n_items, size=(B, S)).astype(np.int32)
+    seen_mask = (rng.random((B, S)) > 0.4).astype(np.float32)
+
+    # XLA reference
+    scores = np.array(h @ w + b)
+    for i in range(B):
+        for s in range(S):
+            if seen_mask[i, s] > 0:
+                scores[i, seen[i, s]] = -np.inf
+    want_ids = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+
+    vals, ids = fused_score_topk(
+        h, w, b, jnp.asarray(seen), jnp.asarray(seen_mask),
+        k=k, block_b=8, block_n=128, interpret=True,
+    )
+    vals, ids = np.asarray(vals), np.asarray(ids)
+    # values must be sorted descending and match the reference scores
+    for i in range(B):
+        np.testing.assert_allclose(
+            vals[i], np.sort(scores[i])[::-1][:k], rtol=1e-5
+        )
+        # id sets must agree (ties broken arbitrarily but scores equal)
+        np.testing.assert_allclose(
+            scores[i, ids[i]], scores[i, want_ids[i]], rtol=1e-5
+        )
+
+
+def test_fused_score_topk_excludes_all_seen():
+    rng = np.random.default_rng(4)
+    B, H, N = 4, 8, 64
+    h = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(H, N)).astype(np.float32))
+    b = jnp.zeros(N, jnp.float32)
+    seen = np.tile(np.arange(10, dtype=np.int32), (B, 1))
+    seen_mask = np.ones((B, 10), np.float32)
+    _, ids = fused_score_topk(
+        h, w, b, jnp.asarray(seen), jnp.asarray(seen_mask),
+        k=5, block_b=4, block_n=64, interpret=True,
+    )
+    assert not (set(np.asarray(ids).ravel().tolist()) & set(range(10)))
