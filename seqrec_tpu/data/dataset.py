@@ -51,6 +51,15 @@ class SequenceStore:
 
     @classmethod
     def from_file(cls, filename: str) -> "SequenceStore":
+        # fast path: native C++ parser (seqrec_tpu/data/native.py);
+        # transparently falls back to the Python tokenizer
+        from seqrec_tpu.data.native import load_sequences_native
+
+        parsed = load_sequences_native(filename)
+        if parsed is not None:
+            items, ratings, offsets, users = parsed
+            return cls(items, ratings, offsets, users)
+
         users, items, ratings, offsets = [], [], [], [0]
         with open(filename) as f:
             for line in f:
