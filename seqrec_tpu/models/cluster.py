@@ -147,7 +147,8 @@ class RNNCluster(RNNBase):
     # ------------------------------------------------------------------
     def _user_representation(self, params, batch):
         return self.recurrent_layer.apply(
-            params["tower"], batch["ids"], batch["mask"], batch.get("id_mask")
+            params["tower"], batch["ids"], batch["mask"], batch.get("id_mask"),
+            fast="train",
         )
 
     def _membership(self, logits, scale):

@@ -230,19 +230,32 @@ class RecurrentLayers:
             )
         x_pre = maybe_grad_clip(x_pre, self.grad_clip)
 
-        # Fused Pallas time scan on TPU (forward/serving path only — the
-        # kernel has no VJP; training and CPU use the lax.scan below).
+        # Fused Pallas time scans on TPU. ``fast=True`` = forward-only
+        # (eval/serving); ``fast="train"`` = the custom-VJP variant whose
+        # backward recomputes gates and applies the Lasagne-parity
+        # hidden-cotangent clip. CPU and non-GRU shapes use the lax.scan.
         if (
             fast
             and only_return_final
             and not backwards
             and self.layer_type == "GRU"
             and _pallas_available()
+            # batch tiles are 128-wide and lanes want 64/128-aligned gate
+            # widths; small batches or ragged hidden sizes (e.g. the
+            # reference's H=50) are faster on the XLA scan
+            and lp["h0"].shape[0] % 64 == 0
+            and (fast != "train" or x_pre.shape[0] >= 64)
         ):
-            from seqrec_tpu.ops.pallas_rnn import gru_scan
-
             B = x_pre.shape[0]
             h0 = jnp.broadcast_to(lp["h0"], (B, lp["h0"].shape[0]))
+            if fast == "train":
+                from seqrec_tpu.ops.pallas_rnn_train import gru_scan_train
+
+                return gru_scan_train(
+                    x_pre, mask, lp["W_hid"], h0, float(self.grad_clip)
+                )
+            from seqrec_tpu.ops.pallas_rnn import gru_scan
+
             return gru_scan(x_pre, mask, lp["W_hid"], h0)
 
         B = x_pre.shape[0]

@@ -86,7 +86,8 @@ class RNNMargin(RNNBase):
     # ------------------------------------------------------------------
     def _loss(self, params, batch):
         h = self.recurrent_layer.apply(
-            params["tower"], batch["ids"], batch["mask"], batch.get("id_mask")
+            params["tower"], batch["ids"], batch["mask"], batch.get("id_mask"),
+            fast="train",
         )
         predictions = (
             jnp.dot(h, params["W_out"], preferred_element_type=jnp.float32)

@@ -66,7 +66,9 @@ class RNNOneHot(RNNBase):
         )
 
     def _loss(self, params, batch):
-        logits = self._logits(params, batch["ids"], batch.get("id_mask"), batch["mask"])
+        logits = self._logits(
+            params, batch["ids"], batch.get("id_mask"), batch["mask"], fast="train"
+        )
         cost = losses.diversity_biased_cce(
             logits, batch["targets"], batch["target_pop"]
         )

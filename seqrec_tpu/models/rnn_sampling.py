@@ -85,7 +85,8 @@ class RNNSampling(RNNBase):
     # ------------------------------------------------------------------
     def _loss(self, params, batch):
         h = self.recurrent_layer.apply(
-            params["tower"], batch["ids"], batch["mask"], batch.get("id_mask")
+            params["tower"], batch["ids"], batch["mask"], batch.get("id_mask"),
+            fast="train",
         )
         cols = jnp.concatenate([batch["targets"], batch["samples"]])
         w_cols = jnp.take(params["W_out"], cols, axis=1)

@@ -5,12 +5,14 @@ precomputed input contributions ``x_pre[B, L, 3H]`` (the gather-sum of the
 sparse input table — sparse_lstm.py:755's ``x·W_in`` trick), advance the
 hidden state through all ``L`` timesteps.
 
-The XLA `lax.scan` version writes the carry to HBM between steps once
-shapes grow; this kernel keeps the hidden state, the ``W_hid`` gate matrix
-and one batch-tile of ``x_pre`` resident in VMEM for the whole sequence,
-so the only HBM traffic is the initial tile load and the final state
-store. Grid is over batch tiles; each program runs a ``fori_loop`` over
-time with one fused ``[TB,H]·[H,3H]`` MXU matmul per step.
+This kernel keeps the hidden state, the ``W_hid`` gate matrix and one
+batch-tile of ``x_pre`` resident in VMEM for the whole sequence, so the
+only HBM traffic is the initial tile load and the final state store.
+Grid is over batch tiles; each program runs a ``fori_loop`` over time
+with one fused ``[TB,H]·[H,3H]`` MXU matmul per step. Measured on TPU
+v5e (B=256, L=30, H=128) it matches XLA's scan (~30µs) — XLA is already
+memory-bound-optimal here — and it exists to compose with the fused
+top-k eval path and to control layout at larger hidden sizes.
 
 Forward-only: training uses the XLA scan (autodiff through a Pallas
 fori_loop would need a custom VJP with stashed activations); evaluation
