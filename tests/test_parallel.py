@@ -85,3 +85,41 @@ def test_sharded_params_layout(devices, synthetic_handler):
     # dense hidden weights replicated
     whid_sh = params_s["tower"]["layer0_fwd"]["W_hid"].sharding.spec
     assert tuple(whid_sh) == ()
+
+
+def test_sharded_topk_matches_dense(devices):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from seqrec_tpu.ops.core import masked_top_k
+    from seqrec_tpu.parallel.topk import sharded_score_topk
+
+    mesh = make_mesh(n_data=2, n_model=4, devices=devices)
+    rng = np.random.default_rng(0)
+    B, H, N, S, k = 8, 16, 64, 6, 5
+    h = rng.normal(size=(B, H)).astype(np.float32)
+    w = rng.normal(size=(H, N)).astype(np.float32)
+    b = rng.normal(size=N).astype(np.float32)
+    seen = rng.integers(0, N, size=(B, S)).astype(np.int32)
+    seen_mask = (rng.random((B, S)) > 0.5).astype(np.float32)
+
+    import jax.numpy as jnp
+
+    dense = np.asarray(
+        masked_top_k(jnp.asarray(h @ w + b), k, jnp.asarray(seen), jnp.asarray(seen_mask))
+    )
+
+    h_s = jax.device_put(h, NamedSharding(mesh, P("data", None)))
+    w_s = jax.device_put(w, NamedSharding(mesh, P(None, "model")))
+    b_s = jax.device_put(b, NamedSharding(mesh, P("model")))
+    seen_s = jax.device_put(seen, NamedSharding(mesh, P("data", None)))
+    sm_s = jax.device_put(seen_mask, NamedSharding(mesh, P("data", None)))
+    sharded = np.asarray(
+        sharded_score_topk(mesh, h_s, w_s, b_s, seen_s, sm_s, k=k)
+    )
+
+    # identical candidate scores row by row (ties may reorder ids)
+    scores = h @ w + b
+    for i in range(B):
+        np.testing.assert_allclose(
+            scores[i, sharded[i]], scores[i, dense[i]], rtol=1e-5
+        )
