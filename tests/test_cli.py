@@ -1,0 +1,88 @@
+"""CLI surface: factory dispatch parity and in-process train/test drives."""
+
+import sys
+
+import numpy as np
+import pytest
+
+import seqrec_tpu.utils.command_parser as parse
+
+
+def _args(extra):
+    return parse.command_parser(
+        parse.predictor_command_parser, argv=extra
+    )
+
+
+@pytest.mark.parametrize(
+    "argv,cls_name",
+    [
+        (["-m", "RNN"], "RNNOneHot"),
+        (["-m", "RNN", "--loss", "BPR"], "RNNSampling"),
+        (["-m", "RNN", "--loss", "TOP1"], "RNNSampling"),
+        (["-m", "RNN", "--loss", "hinge"], "RNNMargin"),
+        (["-m", "RNN", "--loss", "logsig"], "RNNMargin"),
+        (["-m", "RNN", "--clusters", "4"], "RNNCluster"),
+        (["-m", "FISM", "--clusters", "4"], "FISMCluster"),
+        (["-m", "FISM", "--loss", "BPR"], "FISM"),
+        (["-m", "BPRMF"], "BPRMF"),
+        (["-m", "FPMC"], "FPMC"),
+        (["-m", "Fossil"], "Fossil"),
+        (["-m", "SDA"], "StackedDenoisingAutoencoder"),
+        (["-m", "LTM"], "LTM"),
+        (["-m", "POP"], "Pop"),
+        (["-m", "MM"], "MarkovModel"),
+        (["-m", "UKNN"], "UserKNN"),
+    ],
+)
+def test_get_predictor_dispatch(argv, cls_name):
+    predictor = parse.get_predictor(_args(argv))
+    assert type(predictor).__name__ == cls_name
+
+
+def test_rnn_flags_plumb_through():
+    p = parse.get_predictor(
+        _args(
+            [
+                "-m", "RNN", "--loss", "CCE", "--db", "0.5", "-r", "0.1",
+                "--r_t", "LSTM", "--r_l", "30-20", "--max_length", "17",
+                "-b", "9", "--u_m", "rmsprop", "--u_l", "0.3",
+                "--n_dropout", "0.1", "--n_targets", "3",
+            ]
+        )
+    )
+    assert p.diversity_bias == 0.5
+    assert p.regularization == 0.1
+    assert p.recurrent_layer.layer_type == "LSTM"
+    assert p.recurrent_layer.layers == [30, 20]
+    assert p.max_length == 17
+    assert p.batch_size == 9
+    assert p.updater.name.startswith("Ur_lr0.3")
+    assert p.sequence_noise.dropout == 0.1
+    assert p.target_selection.n_targets == 3
+
+
+def test_filename_encoding_matches_reference_shape():
+    p = parse.get_predictor(_args(["-m", "RNN", "--loss", "CCE"]))
+    fn = p._get_model_filename(3.5)
+    # reference pattern: rnn_cce_db<..>_r<..>_ml<..>_bs<..>_ne<..>_<tower>_<updater>_<targets>...
+    assert fn.startswith("rnn_cce_db0.0_r0.0_ml30_bs16_ne3.5_GRU_gc100_h50_Ua_lr0.001")
+    assert "_nt1" in fn and fn.endswith("_nf")
+
+
+def test_train_and_test_cli_end_to_end(synthetic_dataset, capsys):
+    """Drive the real CLIs in-process on the CPU backend."""
+    import test as test_cli
+    import train as train_cli
+
+    common = [
+        "-d", str(synthetic_dataset), "-m", "RNN", "--loss", "CCE",
+        "--r_t", "GRU", "--r_l", "8", "--max_length", "10", "-b", "8",
+        "--u_l", "0.01",
+    ]
+    res = train_cli.main(common + ["--max_iter", "30", "--progress", "30", "--save", "All"])
+    assert res[0]["sps"] is not None
+
+    test_cli.main(common + ["--metrics", "sps,recall"])
+    out = capsys.readouterr().out
+    assert "sps@10" in out and "recall@10" in out
