@@ -7,7 +7,8 @@ Prints ONE JSON line:
 Setup (ML-1M-scale, reference parity config per BASELINE.md):
 GRU hidden 50, max_length 30, full-softmax CCE over a ~3.7k-item catalog.
 
-- ``value``: steady-state sequences/s of the jitted train step on the
+- ``value``: END-TO-END sequences/s of the real training loop (prefetch-
+  threaded packed batch generation + async jitted train steps) on the
   default device (the real TPU chip under the driver) at batch 256 —
   batch size is a free deployment parameter; the reference's B=16 is a
   CPU-bound choice, not part of the task definition.
@@ -64,7 +65,7 @@ def make_batch(batch_size: int, rng):
 
 
 def measure(model, batch, steps: int, device=None) -> float:
-    """Steady-state sequences/s of the jitted train step."""
+    """Steady-state sequences/s of the jitted train step (device only)."""
     import jax
 
     params, opt_state = model.params, model.opt_state
@@ -88,6 +89,41 @@ def measure(model, batch, steps: int, device=None) -> float:
     return batch["ids"].shape[0] * steps / dt
 
 
+def measure_end_to_end(model, steps: int) -> float:
+    """sequences/s of the REAL training loop: prefetch-threaded packed
+    batch generation + async train steps, on an ML-1M-scale synthetic
+    dataset (cached under /tmp)."""
+    import jax
+
+    from seqrec_tpu.data import DataHandler
+    from seqrec_tpu.data.synthetic import make_dataset
+
+    cache = "/tmp/seqrec_bench_data"
+    if not os.path.isfile(os.path.join(cache, "data", "stats")):
+        make_dataset(
+            cache, n_users=2000, n_items=N_ITEMS, min_len=20, max_len=200,
+            markov_strength=0.45, seed=11,
+        )
+    handler = DataHandler(cache + "/")
+    model.set_dataset(handler)
+    gen = model._prefetch(
+        model._gen_packed_mini_batch(
+            handler.training_set, np.random.default_rng(5)
+        )
+    )
+    if model.opt_state is None:
+        model.opt_state = model._opt.init(model.params)
+    # warmup: compile
+    for _ in range(3):
+        cost = model.train_function(next(gen))
+    jax.block_until_ready(cost)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        cost = model.train_function(next(gen))
+    jax.block_until_ready(cost)
+    return model.batch_size * steps / (time.perf_counter() - t0)
+
+
 def measure_cpu_baseline(steps: int) -> float:
     """Reference operating point (batch 16) on one CPU host."""
     import jax
@@ -102,14 +138,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--steps", type=int, default=400)
     args = ap.parse_args()
-    steps = 10 if args.quick else args.steps
+    steps = 40 if args.quick else args.steps
 
-    # main measurement on the default device (TPU under the driver)
+    # main measurement on the default device (TPU under the driver):
+    # the full training loop (host packed batching + async device steps)
     model = make_model(args.batch)
-    batch = make_batch(args.batch, np.random.default_rng(0))
-    value = measure(model, batch, steps)
+    value = measure_end_to_end(model, steps)
 
     # baseline: cached CPU measurement at the reference operating point
     if os.path.isfile(_BASELINE_CACHE):

@@ -220,12 +220,19 @@ class RNNBase:
 
         self._topk_jit = jax.jit(topk_fn, static_argnums=(6,))
 
-    def train_function(self, batch) -> float:
-        """One optimizer step; returns the batch cost (device-synced)."""
+    def train_function(self, batch):
+        """One optimizer step; returns the batch cost WITHOUT syncing.
+
+        The cost stays a device array so consecutive steps pipeline
+        (host batch assembly overlaps device compute); the training loop
+        only materializes costs — and checks for NaN — at progress
+        checkpoints. (The reference syncs and NaN-checks every step,
+        rnn_base.py:290-292; deferring the check to the checkpoint is
+        the async-dispatch trade.)"""
         self.params, self.opt_state, cost = self._train_step(
             self.params, self.opt_state, batch
         )
-        return float(cost)
+        return cost
 
     # ------------------------------------------------------------------
     # prediction
@@ -247,6 +254,118 @@ class RNNBase:
             scores[[int(i[0]) for i in sequence]] = -np.inf
         scores[list(exclude)] = -np.inf
         return list(np.argpartition(-scores, range(k))[:k])
+
+    # ------------------------------------------------------------------
+    # fast packed mini-batches (vectorized; no per-item Python)
+    # ------------------------------------------------------------------
+    def _fast_batching_ok(self) -> bool:
+        """The vectorized batcher reproduces the reference's sampling
+        distribution only for the default plugin settings (no sequence
+        noise; deterministic next-item target)."""
+        ts = self.target_selection
+        return (
+            self.sequence_noise.is_identity
+            and ts.n_targets == 1
+            and not ts.shuffle
+            and ts.bias < 0
+            and np.isfinite(self.max_length)
+        )
+
+    def _gen_packed_mini_batch(self, training_set, rng=None):
+        """Vectorized equivalent of ``_gen_mini_batch``: same multi-cut
+        sampling per sequence (rnn_base.py:396-415), but batches are
+        assembled with numpy slice copies from the packed SequenceStore
+        instead of per-item Python featurization (~20x the generator
+        throughput — needed to keep the TPU step fed)."""
+        store = training_set.store
+        lengths = store.lengths
+        offsets = store.offsets
+        eligible = np.where(lengths >= 3)[0]
+        if len(eligible) == 0:
+            raise ValueError("no trainable sequences (all shorter than 3)")
+        B, L, F = self.batch_size, self.max_length, self.n_feature_slots
+        rng = rng if rng is not None else self.rng
+        order = eligible.copy()
+        pos = len(order)
+        epoch = -1
+
+        sel_rows = np.empty(B, dtype=np.int64)
+        sel_cuts = np.empty(B, dtype=np.int64)
+        while True:
+            j = 0
+            while j < B:
+                if pos >= len(order):
+                    if training_set.shuffle:
+                        rng.shuffle(order)
+                    pos = 0
+                    epoch += 1
+                r = order[pos]
+                pos += 1
+                training_set.epochs = epoch + pos / len(order)
+                n = int(min(B - j, lengths[r] - 2))
+                sel_cuts[j : j + n] = rng.choice(
+                    np.arange(2, lengths[r]), size=n, replace=False
+                )
+                sel_rows[j : j + n] = r
+                j += n
+
+            # vectorized assembly: one fancy gather over the flat store
+            offs = offsets[sel_rows]
+            starts = np.maximum(0, sel_cuts - L)
+            m = (sel_cuts - starts).astype(np.int64)  # [B] prefix lengths
+            t_idx = np.arange(L, dtype=np.int64)[None, :]
+            valid = t_idx < m[:, None]  # [B, L]
+            flat = offs[:, None] + starts[:, None] + t_idx
+            flat = np.where(valid, flat, 0)
+            ids = np.zeros((B, L, F), dtype=np.int32)
+            ids[:, :, 0] = np.where(valid, store.items[flat], 0)
+            if F > 1:
+                buckets = np.clip(
+                    np.round(store.ratings[flat] * 2) - 1, 0, 9
+                ).astype(np.int32)
+                ids[:, :, 1] = np.where(valid, self.n_items + buckets, 0)
+            mask = valid.astype(np.float32)
+            targets = store.items[offs + sel_cuts].astype(np.int32)
+            target_ratings = store.ratings[offs + sel_cuts]
+
+            packed = {"ids": ids, "mask": mask, "targets": targets}
+            if F > 1:
+                packed["id_mask"] = np.broadcast_to(
+                    mask[:, :, None], ids.shape
+                ).astype(np.float32)
+            yield self._finalize_packed_batch(packed, target_ratings)
+
+    def _finalize_packed_batch(self, packed: dict, target_ratings) -> dict:
+        """Model hook: add loss-specific fields to a packed batch
+        (vectorized). Default covers the CCE batch layout."""
+        packed["target_pop"] = np.ones(len(packed["targets"]), dtype=np.float32)
+        return packed
+
+    @staticmethod
+    def _prefetch(generator, depth: int = 4):
+        """Background-thread prefetch (the reference ships a disabled
+        version of this, rnn_base.py:34-56,273-274; ours is on by
+        default so host batch assembly overlaps device steps)."""
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        sentinel = object()
+
+        def producer():
+            try:
+                for item in generator:
+                    q.put(item)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            yield item
 
     # ------------------------------------------------------------------
     # mini-batch generation (reference semantics, rnn_base.py:373-420)
@@ -387,9 +506,18 @@ class RNNBase:
         if self.opt_state is None:
             self.opt_state = self._opt.init(self.params)
 
-        batch_generator = self._gen_mini_batch(
-            self.sequence_noise(dataset.training_set())
-        )
+        if self._fast_batching_ok():
+            # vectorized packed batches, assembled in a prefetch thread
+            # (with a dedicated RNG: numpy Generators are not thread-safe)
+            batch_generator = self._prefetch(
+                self._gen_packed_mini_batch(
+                    dataset.training_set, np.random.default_rng(self.seed + 77)
+                )
+            )
+        else:
+            batch_generator = self._gen_mini_batch(
+                self.sequence_noise(dataset.training_set())
+            )
 
         start_time = time()
         next_save = int(progress)
@@ -401,12 +529,10 @@ class RNNBase:
 
         try:
             while time() - start_time < max_time and iterations < max_iter:
-                # train on one batch
+                # train on one batch (async; costs sync at checkpoints)
                 try:
                     batch = next(batch_generator)
                     cost = self.train_function(batch)
-                    if np.isnan(cost):
-                        raise ValueError("Cost is NaN")
                 except StopIteration:
                     break
 
@@ -421,7 +547,10 @@ class RNNBase:
                 if progress_indicator >= next_save:
                     if progress_indicator >= min_iterations:
                         epochs.append(epochs_offset + dataset.training_set.epochs)
-                        train_costs.append(np.mean(current_train_cost))
+                        mean_cost = float(np.mean([float(c) for c in current_train_cost]))
+                        if np.isnan(mean_cost):
+                            raise ValueError("Cost is NaN")
+                        train_costs.append(mean_cost)
                         current_train_cost = []
                         metrics = self._compute_validation_metrics(metrics)
                         self._print_progress(

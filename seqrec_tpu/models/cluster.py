@@ -275,6 +275,16 @@ class RNNCluster(RNNBase):
             self._last_epoch += steps
             print("New scale: ", self.effective_scale)
 
+    def _finalize_packed_batch(self, packed, target_ratings):
+        samples, cluster_samples = self._draw_sample_sets()
+        self._update_scale()
+        self._noise_seed += 1
+        packed["samples"] = samples
+        packed["cluster_samples"] = cluster_samples
+        packed["scale"] = np.float32(self.effective_scale)
+        packed["noise_seed"] = np.int32(self._noise_seed)
+        return packed
+
     def _prepare_input(self, sequences):
         ids, id_mask, mask = self._encode_sequences([s[1] for s in sequences])
         targets = np.array([s[2][0][0] for s in sequences], dtype=np.int32)

@@ -127,6 +127,17 @@ class RNNMargin(RNNBase):
             + params["b_out"]
         )
 
+    def _finalize_packed_batch(self, packed, target_ratings):
+        B = len(packed["targets"])
+        packed["target_ids"] = packed["targets"].reshape(B, 1)
+        packed["t_count"] = np.ones(B, dtype=np.float32)
+        packed["seen_ids"] = np.where(
+            packed["mask"] > 0, packed["ids"][:, :, 0], self.n_items
+        ).astype(np.int32)
+        packed["default_target"] = self._default_target
+        del packed["targets"]
+        return packed
+
     # ------------------------------------------------------------------
     def _prepare_input(self, sequences):
         ids, id_mask, mask = self._encode_sequences([s[1] for s in sequences])

@@ -82,6 +82,12 @@ class RNNOneHot(RNNBase):
         # deterministic output = softmax over the catalog (rnn_one_hot.py:65)
         return jax.nn.softmax(self._logits(params, ids, id_mask, mask, fast=True), axis=-1)
 
+    def _finalize_packed_batch(self, packed, target_ratings):
+        packed["target_pop"] = (
+            self.dataset.item_popularity[packed["targets"]] ** self.diversity_bias
+        ).astype(np.float32)
+        return packed
+
     # ------------------------------------------------------------------
     def _prepare_input(self, sequences):
         """sequences: list of [user_id, input_sequence, targets]

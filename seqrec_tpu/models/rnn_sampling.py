@@ -117,6 +117,13 @@ class RNNSampling(RNNBase):
             return np.searchsorted(self._cumsum, u, side="right").astype(np.int32)
         return self.rng.choice(self.n_items, self.effective_sampling).astype(np.int32)
 
+    def _finalize_packed_batch(self, packed, target_ratings):
+        packed["target_pop"] = (
+            self.dataset.item_popularity[packed["targets"]] ** self.diversity_bias
+        ).astype(np.float32)
+        packed["samples"] = self._draw_samples()
+        return packed
+
     def _prepare_input(self, sequences):
         ids, id_mask, mask = self._encode_sequences([s[1] for s in sequences])
         targets = np.array([s[2][0][0] for s in sequences], dtype=np.int32)

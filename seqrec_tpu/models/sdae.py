@@ -113,6 +113,8 @@ class StackedDenoisingAutoencoder(RNNBase):
     # batching: whole sequences, denoised input vs full target
     # (stacked_denoising_autoencoder.py:126-149)
     # ------------------------------------------------------------------
+    def _fast_batching_ok(self) -> bool:
+        return False  # SDAE has its own bag-of-items batch layout
     def _encode_bag(self, seq_lists, pad):
         B = len(seq_lists)
         ids = np.zeros((B, pad), dtype=np.int32)
