@@ -96,6 +96,7 @@ class RNNBase:
         max_length: int = MAX_LENGTH,
         batch_size: int = BATCH_SIZE,
         seed: int = 42,
+        compute_dtype: str = "float32",
     ):
         self.sequence_noise = sequence_noise or SequenceNoise()
         self.recurrent_layer = recurrent_layer or RecurrentLayers()
@@ -108,6 +109,10 @@ class RNNBase:
         self.max_length = max_length
         self.batch_size = batch_size
         self.seed = seed
+        # bf16 halves the MXU cost of the catalog-sized output matmuls
+        # (the FLOP-dominant op); accumulation stays f32 and parameters
+        # stay f32, so only matmul inputs are cast.
+        self.compute_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
         self.rng = np.random.default_rng(seed)
 
         self.name = "RNN base"
@@ -179,6 +184,14 @@ class RNNBase:
     def set_dataset(self, dataset) -> None:
         self.dataset = dataset
         self.target_selection.set_dataset(dataset)
+
+    def _out_matmul(self, h, w_out, b_out):
+        """Catalog-sized output matmul in the compute dtype (f32 accum)."""
+        cdt = self.compute_dtype
+        return (
+            jnp.dot(h.astype(cdt), w_out.astype(cdt), preferred_element_type=jnp.float32)
+            + b_out
+        )
 
     # subclass hooks -----------------------------------------------------
     def _init_params(self) -> dict:  # pragma: no cover

@@ -89,10 +89,7 @@ class RNNMargin(RNNBase):
             params["tower"], batch["ids"], batch["mask"], batch.get("id_mask"),
             fast="train",
         )
-        predictions = (
-            jnp.dot(h, params["W_out"], preferred_element_type=jnp.float32)
-            + params["b_out"]
-        )
+        predictions = self._out_matmul(h, params["W_out"], params["b_out"])
         B = predictions.shape[0]
         n1 = self.n_items + 1  # extra column swallows padded scatter ids
         b_idx = jnp.arange(B)[:, None]
@@ -122,10 +119,7 @@ class RNNMargin(RNNBase):
 
     def _scores(self, params, ids, id_mask, mask):
         h = self.recurrent_layer.apply(params["tower"], ids, mask, id_mask, fast=True)
-        return (
-            jnp.dot(h, params["W_out"], preferred_element_type=jnp.float32)
-            + params["b_out"]
-        )
+        return self._out_matmul(h, params["W_out"], params["b_out"])
 
     def _finalize_packed_batch(self, packed, target_ratings):
         B = len(packed["targets"])

@@ -60,10 +60,7 @@ class RNNOneHot(RNNBase):
     # ------------------------------------------------------------------
     def _logits(self, params, ids, id_mask, mask, fast=False):
         h = self.recurrent_layer.apply(params["tower"], ids, mask, id_mask, fast=fast)
-        return (
-            jnp.dot(h, params["W_out"], preferred_element_type=jnp.float32)
-            + params["b_out"]
-        )
+        return self._out_matmul(h, params["W_out"], params["b_out"])
 
     def _loss(self, params, batch):
         logits = self._logits(

@@ -100,10 +100,7 @@ class RNNSampling(RNNBase):
 
     def _scores(self, params, ids, id_mask, mask):
         h = self.recurrent_layer.apply(params["tower"], ids, mask, id_mask, fast=True)
-        logits = (
-            jnp.dot(h, params["W_out"], preferred_element_type=jnp.float32)
-            + params["b_out"]
-        )
+        logits = self._out_matmul(h, params["W_out"], params["b_out"])
         return jax.nn.softmax(logits, axis=-1)
 
     # ------------------------------------------------------------------

@@ -104,6 +104,11 @@ def predictor_command_parser(parser) -> None:
         "--in_do", dest="input_dropout", help="Input dropout (SDA)", default=0.2, type=float
     )
     parser.add_argument("--do", dest="dropout", help="Dropout (SDA)", default=0.5, type=float)
+    parser.add_argument(
+        "--bf16",
+        help="Compute catalog-sized matmuls in bfloat16 (f32 accumulation).",
+        action="store_true",
+    )
     parser.add_argument("--rf", help="Use rating features.", action="store_true")
     parser.add_argument("--mf", help="Use movie features.", action="store_true")
     parser.add_argument("--uf", help="Use users features.", action="store_true")
@@ -218,6 +223,7 @@ def get_predictor(args):
         use_movies_features=args.mf,
         use_users_features=args.uf,
         batch_size=args.batch_size,
+        compute_dtype="bfloat16" if args.bf16 else "float32",
     )
 
     if args.method == "BPRMF":

@@ -273,3 +273,19 @@ def test_pareto_front():
     metrics3 = {"sps": [0.1, 0.3, 0.2], "recall": [0.1, 0.3, 0.25]}
     front3 = model.get_pareto_front(metrics3, ["sps", "recall"])
     assert front3 == [1]
+
+
+def test_bf16_compute_dtype(synthetic_handler):
+    model = RNNOneHot(
+        recurrent_layer=RecurrentLayers(layer_type="GRU", layers=[16]),
+        updater=Adam(0.01),
+        max_length=10,
+        batch_size=16,
+        seed=0,
+        compute_dtype="bfloat16",
+    )
+    model.prepare_model(synthetic_handler)
+    res, _, _ = model.train(
+        synthetic_handler, max_iter=60, progress=60, autosave="None"
+    )
+    assert res["sps"] is not None and np.isfinite(res["sps"])
