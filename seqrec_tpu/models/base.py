@@ -104,6 +104,15 @@ class RNNBase:
         self.target_selection = target_selection or SelectTargets()
         self.interactions_are_unique = interactions_are_unique
         self.use_ratings_features = use_ratings_features
+        if use_movies_features or use_users_features:
+            # the reference's --mf/--uf paths require MovieLens-specific
+            # feature tables that ship as None globals and crash when
+            # enabled (rnn_base.py:26-29,546-610); fail fast instead
+            raise NotImplementedError(
+                "movie/user feature tables are not wired up (the reference "
+                "crashes on --mf/--uf too: its feature tables are None "
+                "globals, rnn_base.py:26-29); only --rf is supported"
+            )
         self.use_movies_features = use_movies_features
         self.use_users_features = use_users_features
         self.max_length = max_length
