@@ -645,6 +645,13 @@ class RNNBase:
         self, iterations, epochs, start_time, train_costs, metrics, validation_metrics
     ):
         print(self.name, iterations, "batchs, ", epochs, " epochs in", time() - start_time, "s")
+        # training throughput since the previous checkpoint (sequences/s)
+        now = time()
+        last_iters, last_time = getattr(self, "_tp_mark", (0, start_time))
+        if iterations > last_iters and now > last_time:
+            rate = (iterations - last_iters) * self.batch_size / (now - last_time)
+            print("Throughput : ", round(rate, 1), " sequences/s")
+        self._tp_mark = (iterations, now)
         print("Last train cost : ", train_costs[-1])
         for m in self.metrics:
             print(m, ": ", metrics[m][-1])
