@@ -237,10 +237,34 @@ class RNNBase:
         self._score_jit = jax.jit(score_fn)
 
         def topk_fn(params, ids, id_mask, mask, seen_ids, seen_mask, k):
+            fused = self._fused_topk(params, ids, id_mask, mask, seen_ids, seen_mask, k)
+            if fused is not None:
+                return fused
             scores = self._scores(params, ids, id_mask, mask)
             return masked_top_k(scores, k, seen_ids, seen_mask)
 
         self._topk_jit = jax.jit(topk_fn, static_argnums=(6,))
+
+    # subclasses with a monotone head (softmax/identity over h·W_out+b)
+    # set this to route batched eval through the fused Pallas kernel
+    fused_eval_head = False
+
+    def _fused_topk(self, params, ids, id_mask, mask, seen_ids, seen_mask, k):
+        """Single fused scoring+mask+top-k pass (Pallas, TPU).
+
+        Valid whenever ranking raw output logits matches ranking the
+        model's ``_scores`` (softmax/identity heads). Returns None to fall
+        back to the two-pass XLA path."""
+        from seqrec_tpu.models.recurrent import _pallas_available
+        from seqrec_tpu.ops.pallas_topk import fused_score_topk
+
+        if not (self.fused_eval_head and _pallas_available()) or seen_ids is None:
+            return None
+        h = self.recurrent_layer.apply(params["tower"], ids, mask, id_mask, fast=True)
+        _, top = fused_score_topk(
+            h, params["W_out"], params["b_out"], seen_ids, seen_mask, k=k
+        )
+        return top
 
     def train_function(self, batch):
         """One optimizer step; returns the batch cost WITHOUT syncing.
@@ -649,7 +673,9 @@ class RNNBase:
         now = time()
         last_iters, last_time = getattr(self, "_tp_mark", (0, start_time))
         if iterations > last_iters and now > last_time:
-            rate = (iterations - last_iters) * self.batch_size / (now - last_time)
+            # MF-family iterations already count samples (batch_size absent)
+            per_iter = getattr(self, "batch_size", 1)
+            rate = (iterations - last_iters) * per_iter / (now - last_time)
             print("Throughput : ", round(rate, 1), " sequences/s")
         self._tp_mark = (iterations, now)
         print("Last train cost : ", train_costs[-1])

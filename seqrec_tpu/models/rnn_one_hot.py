@@ -85,6 +85,10 @@ class RNNOneHot(RNNBase):
         ).astype(np.float32)
         return packed
 
+    # softmax head: ranking raw logits == ranking _scores, so the fused
+    # Pallas scoring+mask+top-k kernel applies (see RNNBase._fused_topk)
+    fused_eval_head = True
+
     # ------------------------------------------------------------------
     def _prepare_input(self, sequences):
         """sequences: list of [user_id, input_sequence, targets]

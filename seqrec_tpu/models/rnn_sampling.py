@@ -25,6 +25,9 @@ from seqrec_tpu.ops import losses
 
 
 class RNNSampling(RNNBase):
+    # softmax head: fused Pallas scoring+top-k applies at eval
+    fused_eval_head = True
+
     def __init__(
         self,
         loss_function: str = "Blackout",
