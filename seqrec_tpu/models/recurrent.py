@@ -238,7 +238,7 @@ class RecurrentLayers:
             fast
             and only_return_final
             and not backwards
-            and self.layer_type == "GRU"
+            and self.layer_type in ("GRU", "LSTM")
             and _pallas_available()
             # batch tiles are 128-wide and lanes want 64/128-aligned gate
             # widths; small batches or ragged hidden sizes (e.g. the
@@ -247,16 +247,27 @@ class RecurrentLayers:
             and (fast != "train" or x_pre.shape[0] >= 64)
         ):
             B = x_pre.shape[0]
-            h0 = jnp.broadcast_to(lp["h0"], (B, lp["h0"].shape[0]))
-            if fast == "train":
-                from seqrec_tpu.ops.pallas_rnn_train import gru_scan_train
+            H = lp["h0"].shape[0]
+            h0 = jnp.broadcast_to(lp["h0"], (B, H))
+            if self.layer_type == "LSTM":
+                if fast == "train":
+                    pass  # LSTM training kernel not implemented; fall through
+                else:
+                    from seqrec_tpu.ops.pallas_rnn import lstm_scan
 
-                return gru_scan_train(
-                    x_pre, mask, lp["W_hid"], h0, float(self.grad_clip)
-                )
-            from seqrec_tpu.ops.pallas_rnn import gru_scan
+                    c0 = jnp.broadcast_to(lp["c0"], (B, H))
+                    peep = jnp.stack([lp["w_ci"], lp["w_cf"], lp["w_co"]])
+                    return lstm_scan(x_pre, mask, lp["W_hid"], peep, h0, c0)
+            else:
+                if fast == "train":
+                    from seqrec_tpu.ops.pallas_rnn_train import gru_scan_train
 
-            return gru_scan(x_pre, mask, lp["W_hid"], h0)
+                    return gru_scan_train(
+                        x_pre, mask, lp["W_hid"], h0, float(self.grad_clip)
+                    )
+                from seqrec_tpu.ops.pallas_rnn import gru_scan
+
+                return gru_scan(x_pre, mask, lp["W_hid"], h0)
 
         B = x_pre.shape[0]
         if backwards:

@@ -103,3 +103,71 @@ def gru_scan(x_pre, mask, w_hid, h0, *, block_b: int = 128, interpret: bool = Fa
         ),
     )(x_t_major, mask_t_major, w_hid, h0)
     return out[:B]
+
+
+# ----------------------------------------------------------------------
+# LSTM (peepholes; gate order in|forget|cell|out, parity with
+# seqrec_tpu.models.recurrent.RecurrentLayers._lstm_step)
+# ----------------------------------------------------------------------
+def _lstm_scan_kernel(
+    x_ref, mask_ref, w_ref, peep_ref, h0_ref, c0_ref, out_ref, *, seq_len: int
+):
+    """x [L, TB, 4H], mask [L, TB], w [H, 4H], peep [3, H] (ci, cf, co)."""
+    H = h0_ref.shape[-1]
+
+    def step(t, carry):
+        h, c = carry
+        x_t = x_ref[t]
+        pre = x_t + jnp.dot(h, w_ref[:], preferred_element_type=jnp.float32)
+        i = jax.nn.sigmoid(pre[:, :H] + c * peep_ref[0, :])
+        f = jax.nn.sigmoid(pre[:, H : 2 * H] + c * peep_ref[1, :])
+        g = jnp.tanh(pre[:, 2 * H : 3 * H])
+        c_new = f * c + i * g
+        o = jax.nn.sigmoid(pre[:, 3 * H :] + c_new * peep_ref[2, :])
+        h_new = o * jnp.tanh(c_new)
+        m = mask_ref[t][:, None]
+        keep = m > 0
+        return (jnp.where(keep, h_new, h), jnp.where(keep, c_new, c))
+
+    h, _ = jax.lax.fori_loop(0, seq_len, step, (h0_ref[:], c0_ref[:]))
+    out_ref[:] = h
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def lstm_scan(
+    x_pre, mask, w_hid, peepholes, h0, c0, *, block_b: int = 128, interpret: bool = False
+):
+    """Fused LSTM forward over time (final hidden state [B, H]).
+
+    peepholes: [3, H] stacked (w_ci, w_cf, w_co)."""
+    B, L, G = x_pre.shape
+    H = h0.shape[-1]
+    assert G == 4 * H, (G, H)
+    pad = (-B) % block_b
+    if pad:
+        x_pre = jnp.pad(x_pre, ((0, pad), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, pad), (0, 0)))
+        h0 = jnp.pad(h0, ((0, pad), (0, 0)))
+        c0 = jnp.pad(c0, ((0, pad), (0, 0)))
+    Bp = B + pad
+    x_t = jnp.swapaxes(x_pre, 0, 1)
+    m_t = jnp.swapaxes(mask, 0, 1)
+
+    out = pl.pallas_call(
+        functools.partial(_lstm_scan_kernel, seq_len=L),
+        out_shape=jax.ShapeDtypeStruct((Bp, H), x_pre.dtype),
+        grid=(Bp // block_b,),
+        in_specs=[
+            pl.BlockSpec((L, block_b, G), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, block_b), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, G), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, H), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, H), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_b, H), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(x_t, m_t, w_hid, peepholes, h0, c0)
+    return out[:B]

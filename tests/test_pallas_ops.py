@@ -114,3 +114,27 @@ def test_fused_score_topk_excludes_all_seen():
         k=5, block_b=4, block_n=64, interpret=True,
     )
     assert not (set(np.asarray(ids).ravel().tolist()) & set(range(10)))
+
+
+def test_lstm_scan_matches_tower():
+    from seqrec_tpu.ops.pallas_rnn import lstm_scan
+
+    rl = RecurrentLayers(layer_type="LSTM", layers=[8], grad_clipping=0)
+    params = rl.init_params(np.random.default_rng(5), true_input_size=20)
+    lp = params["layer0_fwd"]
+    rng = np.random.default_rng(6)
+    ids = rng.integers(0, 20, size=(4, 6, 1)).astype(np.int32)
+    mask = np.ones((4, 6), dtype=np.float32)
+    mask[1, 4:] = 0
+
+    want = np.asarray(rl.apply(params, jnp.asarray(ids), jnp.asarray(mask)))
+
+    x_pre = jnp.asarray(lp["W_in"])[ids[..., 0]] + lp["b"]
+    h0 = jnp.broadcast_to(jnp.asarray(lp["h0"]), (4, 8))
+    c0 = jnp.broadcast_to(jnp.asarray(lp["c0"]), (4, 8))
+    peep = jnp.stack([jnp.asarray(lp[kk]) for kk in ("w_ci", "w_cf", "w_co")])
+    got = np.asarray(
+        lstm_scan(x_pre, jnp.asarray(mask), jnp.asarray(lp["W_hid"]), peep, h0, c0,
+                  block_b=4, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
