@@ -87,6 +87,24 @@ class MFBase:
         self.items = store.items.astype(np.int64)
         # users with >= 2 interactions, for sampling (bprmf.py:79-80)
         self._eligible_users = np.where(self.users[:, 1] >= 2)[0]
+        # binary user x item CSR for vectorized membership tests
+        # (rows follow the store's sequence order, NOT ascending user id)
+        import scipy.sparse as ssp
+
+        seg_rows = np.repeat(
+            store.user_ids.astype(np.int64), np.diff(store.offsets)
+        )
+        self._user_item = ssp.coo_matrix(
+            (
+                np.ones(len(self.items), dtype=np.int8),
+                (seg_rows, self.items),
+            ),
+            shape=(self.n_users, self.n_items),
+        ).tocsr()
+
+    def _is_member(self, users, items) -> np.ndarray:
+        """Vectorized ``item in user's history`` test."""
+        return np.asarray(self._user_item[users, items]).ravel() > 0
 
     # subclass hooks -----------------------------------------------------
     def init_model(self):  # pragma: no cover
@@ -260,6 +278,18 @@ class MFBase:
             out[bad] = self.rng.integers(0, self.n_items, size=int(bad.sum()))
         return out
 
+    def _uniform_negatives_for_users(self, users: np.ndarray) -> np.ndarray:
+        """Uniform negatives not in each user's FULL history (CSR-backed
+        vectorized rejection; equivalent to bprmf.py:95-97)."""
+        n = len(users)
+        out = self.rng.integers(0, self.n_items, size=n)
+        for _ in range(30):
+            bad = self._is_member(users, out)
+            if not bad.any():
+                break
+            out[bad] = self.rng.integers(0, self.n_items, size=int(bad.sum()))
+        return out
+
 
 # ======================================================================
 class BPRMF(MFBase):
@@ -339,15 +369,16 @@ class BPRMF(MFBase):
 
     def _sample_chunk(self, n):
         users = self._sample_users(n)
-        rows = [
-            self.items[self.users[u, 0] : self.users[u, 0] + self.users[u, 1]]
-            for u in users
-        ]
-        true_items = np.array([self.rng.choice(r) for r in rows])
+        offs, lens = self.users[users, 0], self.users[users, 1]
+        true_items = self.items[offs + self.rng.integers(0, lens)]
         if self.adaptive_sampling:
+            rows = [
+                self.items[self.users[u, 0] : self.users[u, 0] + self.users[u, 1]]
+                for u in users
+            ]
             false_items = self._adaptive_negatives(users, rows)
         else:
-            false_items = self._uniform_negatives(rows, n)
+            false_items = self._uniform_negatives_for_users(users)
         return users, true_items, false_items
 
     def training_step(self, iterations):
@@ -441,12 +472,10 @@ class FPMC(MFBase):
 
     def _sample_chunk(self, n):
         users = self._sample_users(n)
-        prevs = np.empty(n, dtype=np.int64)
-        trues = np.empty(n, dtype=np.int64)
-        for s, u in enumerate(users):
-            r = self.rng.integers(0, self.users[u, 1] - 1)
-            prevs[s] = self.items[self.users[u, 0] + r]
-            trues[s] = self.items[self.users[u, 0] + r + 1]
+        offs, lens = self.users[users, 0], self.users[users, 1]
+        r = self.rng.integers(0, lens - 1)
+        prevs = self.items[offs + r]
+        trues = self.items[offs + r + 1]
         if self.adaptive_sampling:
             VUI = np.asarray(self.V_user_item)
             VPN = np.asarray(self.V_prev_next)
