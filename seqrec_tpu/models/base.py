@@ -258,7 +258,13 @@ class RNNBase:
         from seqrec_tpu.models.recurrent import _pallas_available
         from seqrec_tpu.ops.pallas_topk import fused_score_topk
 
-        if not (self.fused_eval_head and _pallas_available()) or seen_ids is None:
+        # the kernel unrolls k insertion steps; bail out for large k
+        # (e.g. the --save_rank full-ranking path where k == n_items)
+        if (
+            not (self.fused_eval_head and _pallas_available())
+            or seen_ids is None
+            or k > 64
+        ):
             return None
         h = self.recurrent_layer.apply(params["tower"], ids, mask, id_mask, fast=True)
         _, top = fused_score_topk(

@@ -65,6 +65,12 @@ def training_command_parser(parser):
         default=0.0,
         type=float,
     )
+    parser.add_argument(
+        "--profile",
+        help="Capture a JAX profiler trace of the training run into this directory.",
+        default="",
+        type=str,
+    )
 
 
 def num(s):
@@ -88,7 +94,15 @@ def main(argv=None):
         shuffle_training=args.tshuffle,
     )
     predictor.prepare_model(dataset)
-    return predictor.train(
+
+    profile_ctx = None
+    if args.profile:
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile)
+        profile_ctx.__enter__()
+
+    result = predictor.train(
         dataset,
         save_dir=dataset.dirname + "models/" + args.dir,
         time_based_progress=args.time_based_progress,
@@ -102,6 +116,10 @@ def main(argv=None):
         load_last_model=args.load_last_model,
         validation_metrics=args.metrics.split(","),
     )
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+        print("Profiler trace written to", args.profile)
+    return result
 
 
 if __name__ == "__main__":
