@@ -745,17 +745,36 @@ class RNNBase:
     def _get_model_filename(self, epochs):  # pragma: no cover
         raise NotImplementedError
 
+    # set True for exact-resume checkpoints; the reference never saves
+    # optimizer state (rnn_base.py:470-479), so parity default is False
+    save_optimizer_state = False
+
     def save(self, filename: str) -> None:
         print("Save model in " + filename)
-        pytree_save(filename, jax.tree_util.tree_map(np.asarray, self.params))
+        tree = {"params": jax.tree_util.tree_map(np.asarray, self.params)}
+        if self.save_optimizer_state and self.opt_state is not None:
+            leaves = jax.tree_util.tree_leaves(self.opt_state)
+            tree["opt"] = {
+                str(i): np.asarray(leaf) for i, leaf in enumerate(leaves)
+            }
+        pytree_save(filename, tree)
 
     def load(self, filename: str) -> None:
-        self.params = jax.tree_util.tree_map(
-            jnp.asarray, pytree_load(filename)
-        )
+        tree = pytree_load(filename)
+        if "params" not in tree:  # archives from before the opt-state split
+            tree = {"params": tree}
+        self.params = jax.tree_util.tree_map(jnp.asarray, tree["params"])
         self.opt_state = None
         if not hasattr(self, "_train_step"):
             self._build_functions()
+        if "opt" in tree:
+            template = self._opt.init(self.params)
+            treedef = jax.tree_util.tree_structure(template)
+            leaves = [
+                jnp.asarray(tree["opt"][str(i)])
+                for i in range(len(tree["opt"]))
+            ]
+            self.opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
 
     def load_last(self, save_dir: str) -> float:
         def extract_number_of_epochs(filename):

@@ -289,3 +289,34 @@ def test_bf16_compute_dtype(synthetic_handler):
         synthetic_handler, max_iter=60, progress=60, autosave="None"
     )
     assert res["sps"] is not None and np.isfinite(res["sps"])
+
+
+def test_optimizer_state_checkpointing(synthetic_handler, tmp_path):
+    model = RNNOneHot(
+        recurrent_layer=RecurrentLayers(layer_type="GRU", layers=[8]),
+        updater=Adam(0.01),
+        max_length=10,
+        batch_size=8,
+        seed=0,
+    )
+    model.save_optimizer_state = True
+    model.prepare_model(synthetic_handler)
+    model.train(synthetic_handler, max_iter=5, progress=5, autosave="None")
+    fn = str(tmp_path / "ckpt")
+    model.save(fn)
+
+    model2 = RNNOneHot(
+        recurrent_layer=RecurrentLayers(layer_type="GRU", layers=[8]),
+        updater=Adam(0.01),
+        max_length=10,
+        batch_size=8,
+        seed=1,
+    )
+    model2.prepare_model(synthetic_handler)
+    model2.load(fn)
+    assert model2.opt_state is not None
+    a = jax.tree_util.tree_leaves(model.opt_state)
+    b = jax.tree_util.tree_leaves(model2.opt_state)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
