@@ -448,12 +448,22 @@ class RNNCluster(RNNBase):
                 ),
                 len(self.clusters[c]),
             )
-        scores = u @ np.asarray(self.params["W_out"]) + np.asarray(self.params["b_out"])
+        # cache the host copy: device->host pulls are expensive through
+        # the remote-TPU tunnel and this runs per test user
+        if not hasattr(self, "_np_out"):
+            self._np_out = (
+                np.asarray(self.params["W_out"]),
+                np.asarray(self.params["b_out"]),
+            )
+        w_out, b_out = self._np_out
+        scores = u @ w_out + b_out
         scores[should_exclude] = -np.inf
         return list(np.argpartition(-scores, range(k))[:k]), self.n_items
 
     def load(self, filename: str) -> None:
         super().load(filename)
+        if hasattr(self, "_np_out"):
+            del self._np_out
         self.prepare_tests()
 
     def _print_progress(

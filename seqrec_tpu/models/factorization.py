@@ -106,6 +106,24 @@ class MFBase:
         """Vectorized ``item in user's history`` test."""
         return np.asarray(self._user_item[users, items]).ravel() > 0
 
+    def _np(self, name: str) -> np.ndarray:
+        """Host-side cached copy of a device parameter array.
+
+        Prediction/validation runs in numpy; without caching every
+        ``top_k_recommendations`` call would re-transfer the tables
+        device→host (per validation user!), which is pathologically slow
+        through the remote-TPU tunnel. The cache keys on array identity,
+        so it refreshes automatically after each training chunk (the jit
+        step returns new arrays)."""
+        cache = self.__dict__.setdefault("_np_cache", {})
+        arr = getattr(self, name)
+        hit = cache.get(name)
+        if hit is not None and hit[0] is arr:
+            return hit[1]
+        val = np.asarray(arr)
+        cache[name] = (arr, val)
+        return val
+
     # subclass hooks -----------------------------------------------------
     def init_model(self):  # pragma: no cover
         raise NotImplementedError
@@ -340,13 +358,13 @@ class BPRMF(MFBase):
     # ------------------------------------------------------------------
     def compute_factor_rankings(self):
         """bprmf.py:66-71."""
-        H = np.asarray(self.H)
+        H = self._np("H")
         self.ranks = np.argsort(H, axis=0)
         self.var = np.var(H, axis=0)
 
     def _adaptive_negatives(self, users, user_item_rows):
         n = len(users)
-        V = np.asarray(self.V)
+        V = self._np("V")
         out = np.empty(n, dtype=np.int64)
         for s in range(n):
             u = users[s]
@@ -398,7 +416,7 @@ class BPRMF(MFBase):
     def top_k_recommendations(self, sequence, user_id=None, k=10, exclude=None):
         if exclude is None:
             exclude = []
-        V, H, bias = np.asarray(self.V), np.asarray(self.H), np.asarray(self.bias)
+        V, H, bias = self._np("V"), self._np("H"), self._np("bias")
         output = bias + V[user_id] @ H.T
         output[[i[0] for i in sequence]] = -np.inf
         output[list(exclude)] = -np.inf
@@ -466,7 +484,7 @@ class FPMC(MFBase):
 
     def compute_factor_rankings(self):
         """fpmc.py:74-84."""
-        VIU, VNP = np.asarray(self.V_item_user), np.asarray(self.V_next_prev)
+        VIU, VNP = self._np("V_item_user"), self._np("V_next_prev")
         self.ranks = np.concatenate((np.argsort(VIU, axis=0), np.argsort(VNP, axis=0)), axis=1)
         self.var = np.concatenate((np.var(VIU, axis=0), np.var(VNP, axis=0)))
 
@@ -477,8 +495,8 @@ class FPMC(MFBase):
         prevs = self.items[offs + r]
         trues = self.items[offs + r + 1]
         if self.adaptive_sampling:
-            VUI = np.asarray(self.V_user_item)
-            VPN = np.asarray(self.V_prev_next)
+            VUI = self._np("V_user_item")
+            VPN = self._np("V_prev_next")
             falses = np.empty(n, dtype=np.int64)
             for s in range(n):
                 concat = np.concatenate((VUI[users[s]], VPN[prevs[s]]))
@@ -530,10 +548,10 @@ class FPMC(MFBase):
         if exclude is None:
             exclude = []
         last_item = sequence[-1][0]
-        VUI = np.asarray(self.V_user_item)
-        VIU = np.asarray(self.V_item_user)
-        VPN = np.asarray(self.V_prev_next)
-        VNP = np.asarray(self.V_next_prev)
+        VUI = self._np("V_user_item")
+        VIU = self._np("V_item_user")
+        VPN = self._np("V_prev_next")
+        VNP = self._np("V_next_prev")
         output = VUI[user_id] @ VIU.T + VPN[last_item] @ VNP.T
         output[[i[0] for i in sequence]] = -np.inf
         output[list(exclude)] = -np.inf
@@ -703,7 +721,7 @@ class FISM(MFBase):
         return float(cost), n
 
     def item_score(self, user_items):
-        V, H, bias = np.asarray(self.V), np.asarray(self.H), np.asarray(self.bias)
+        V, H, bias = self._np("V"), self._np("H"), self._np("bias")
         return bias + np.power(len(user_items), -self.alpha) * (
             V[user_items].sum(axis=0) @ H.T
         )
@@ -846,8 +864,8 @@ class Fossil(MFBase):
         return float(cost), n
 
     def item_score(self, user_id, user_items):
-        V, H, bias = np.asarray(self.V), np.asarray(self.H), np.asarray(self.bias)
-        eta, eta_bias = np.asarray(self.eta), np.asarray(self.eta_bias)
+        V, H, bias = self._np("V"), self._np("H"), self._np("bias")
+        eta, eta_bias = self._np("eta"), self._np("eta_bias")
         long_term = np.power(len(user_items), -self.alpha) * V[user_items].sum(axis=0)
         effective_order = min(self.order, len(user_items))
         if user_id is None:
