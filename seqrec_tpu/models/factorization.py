@@ -426,10 +426,11 @@ class BPRMF(MFBase):
         self._save_arrays(filename, V=self.V, H=self.H, bias=self.bias)
 
     def load(self, filename):
+        # keep host arrays: prediction is numpy; training re-puts lazily
         f = np.load(filename)
-        self.V = jnp.asarray(f["V"])
-        self.H = jnp.asarray(f["H"])
-        self.bias = jnp.asarray(f["bias"])
+        self.V = f["V"]
+        self.H = f["H"]
+        self.bias = f["bias"]
         self._step = jax.jit(partial(self._sgd_chunk, self.reg), donate_argnums=(0, 1, 2))
 
 
@@ -568,10 +569,10 @@ class FPMC(MFBase):
 
     def load(self, filename):
         f = np.load(filename)
-        self.V_user_item = jnp.asarray(f["V_user_item"])
-        self.V_item_user = jnp.asarray(f["V_item_user"])
-        self.V_prev_next = jnp.asarray(f["V_prev_next"])
-        self.V_next_prev = jnp.asarray(f["V_next_prev"])
+        self.V_user_item = f["V_user_item"]
+        self.V_item_user = f["V_item_user"]
+        self.V_prev_next = f["V_prev_next"]
+        self.V_next_prev = f["V_next_prev"]
         self._step = jax.jit(
             partial(self._sgd_chunk, self.reg), donate_argnums=(0, 1, 2, 3)
         )
@@ -740,10 +741,9 @@ class FISM(MFBase):
 
     def load(self, filename):
         f = np.load(filename)
-        self.V = jnp.asarray(f["V"])
-        self.H = jnp.asarray(f["H"])
-        self.bias = jnp.asarray(f["bias"])
-        self.init_model.__func__  # keep linters quiet
+        self.V = f["V"]
+        self.H = f["H"]
+        self.bias = f["bias"]
         if self.loss == "BPR":
             self._step = jax.jit(
                 partial(self._auc_chunk, self.reg, self.alpha), donate_argnums=(0, 1, 2)
@@ -891,11 +891,11 @@ class Fossil(MFBase):
 
     def load(self, filename):
         f = np.load(filename)
-        self.V = jnp.asarray(f["V"])
-        self.H = jnp.asarray(f["H"])
-        self.bias = jnp.asarray(f["bias"])
-        self.eta = jnp.asarray(f["eta"])
-        self.eta_bias = jnp.asarray(f["eta_bias"])
+        self.V = f["V"]
+        self.H = f["H"]
+        self.bias = f["bias"]
+        self.eta = f["eta"]
+        self.eta_bias = f["eta_bias"]
         self._step = jax.jit(
             partial(self._sgd_chunk, self.reg, self.alpha, self.order),
             donate_argnums=(0, 1, 2, 3, 4),
