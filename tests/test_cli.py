@@ -86,3 +86,37 @@ def test_train_and_test_cli_end_to_end(synthetic_dataset, capsys):
     test_cli.main(common + ["--metrics", "sps,recall"])
     out = capsys.readouterr().out
     assert "sps@10" in out and "recall@10" in out
+
+
+def test_load_last_model_resume(synthetic_dataset):
+    import train as train_cli
+
+    common = [
+        "-d", str(synthetic_dataset), "-m", "RNN", "--loss", "CCE",
+        "--r_t", "GRU", "--r_l", "8", "--max_length", "10", "-b", "8",
+        "--u_l", "0.01", "--dir", "resume_test/",
+    ]
+    train_cli.main(common + ["--max_iter", "20", "--progress", "20", "--save", "All"])
+    # second run resumes from the saved epoch and offsets the counter
+    res = train_cli.main(
+        common
+        + ["--max_iter", "10", "--progress", "10", "--save", "None", "--load_last_model"]
+    )
+    assert res[0]["sps"] is not None
+
+
+def test_profile_flag_writes_trace(synthetic_dataset, tmp_path):
+    import train as train_cli
+
+    trace_dir = str(tmp_path / "trace")
+    train_cli.main(
+        [
+            "-d", str(synthetic_dataset), "-m", "RNN", "--loss", "CCE",
+            "--r_t", "GRU", "--r_l", "8", "--max_length", "10", "-b", "8",
+            "--u_l", "0.01", "--max_iter", "10", "--progress", "10",
+            "--save", "None", "--profile", trace_dir,
+        ]
+    )
+    import os
+
+    assert os.path.isdir(trace_dir) and len(os.listdir(trace_dir)) > 0
