@@ -574,7 +574,8 @@ class RNNBase:
         start_time = time()
         next_save = int(progress)
         train_costs = []
-        current_train_cost = []
+        cost_sum = None  # device-side running sum: ONE host pull per checkpoint
+        cost_count = 0
         epochs = []
         metrics = {name: [] for name in self.metrics.keys()}
         filename = {}
@@ -588,7 +589,8 @@ class RNNBase:
                 except StopIteration:
                     break
 
-                current_train_cost.append(cost)
+                cost_sum = cost if cost_sum is None else cost_sum + cost
+                cost_count += 1
                 iterations += 1
 
                 if time_based_progress:
@@ -599,11 +601,11 @@ class RNNBase:
                 if progress_indicator >= next_save:
                     if progress_indicator >= min_iterations:
                         epochs.append(epochs_offset + dataset.training_set.epochs)
-                        mean_cost = float(np.mean([float(c) for c in current_train_cost]))
+                        mean_cost = float(cost_sum) / max(cost_count, 1)
                         if np.isnan(mean_cost):
                             raise ValueError("Cost is NaN")
                         train_costs.append(mean_cost)
-                        current_train_cost = []
+                        cost_sum, cost_count = None, 0
                         metrics = self._compute_validation_metrics(metrics)
                         self._print_progress(
                             iterations,
