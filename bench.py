@@ -113,15 +113,17 @@ def measure_end_to_end(model, steps: int) -> float:
     )
     if model.opt_state is None:
         model.opt_state = model._opt.init(model.params)
+    K = 8  # steps per dispatch: amortize the remote-dispatch overhead
     # warmup: compile
-    for _ in range(3):
-        cost = model.train_function(next(gen))
+    for _ in range(2):
+        cost = model.train_function_multi([next(gen) for _ in range(K)])
     jax.block_until_ready(cost)
+    n_dispatch = max(1, steps // K)
     t0 = time.perf_counter()
-    for _ in range(steps):
-        cost = model.train_function(next(gen))
+    for _ in range(n_dispatch):
+        cost = model.train_function_multi([next(gen) for _ in range(K)])
     jax.block_until_ready(cost)
-    return model.batch_size * steps / (time.perf_counter() - t0)
+    return model.batch_size * n_dispatch * K / (time.perf_counter() - t0)
 
 
 def measure_cpu_baseline(steps: int) -> float:

@@ -137,6 +137,9 @@ class RNNBase:
         self.params = None
         self.opt_state = None
         self.eval_batch_size = max(batch_size, 64)
+        # >1 dispatches that many optimizer steps per device RPC (scan on
+        # device); amortizes remote-dispatch overhead at small batch sizes
+        self.steps_per_dispatch = 1
 
     # ------------------------------------------------------------------
     # featurization: packed sparse ids per timestep
@@ -231,6 +234,25 @@ class RNNBase:
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
 
+        def train_multi(params, opt_state, batches):
+            """K optimizer steps per dispatch (batch leaves stacked on a
+            leading K axis); amortizes the per-RPC dispatch overhead of
+            the remote device. Returns the summed cost."""
+
+            def body(carry, batch):
+                params, opt_state = carry
+                cost, grads = jax.value_and_grad(self._loss)(params, batch)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = jax.tree_util.tree_map(
+                    lambda p, u: p + u, params, updates
+                )
+                return (params, opt_state), cost
+
+            (params, opt_state), costs = jax.lax.scan(body, (params, opt_state), batches)
+            return params, opt_state, costs.sum()
+
+        self._train_multi = jax.jit(train_multi, donate_argnums=(0, 1))
+
         def score_fn(params, ids, id_mask, mask):
             return self._scores(params, ids, id_mask, mask)
 
@@ -271,6 +293,19 @@ class RNNBase:
             h, params["W_out"], params["b_out"], seen_ids, seen_mask, k=k
         )
         return top
+
+    def train_function_multi(self, batches: list) -> tuple:
+        """Run ``len(batches)`` optimizer steps in ONE device dispatch.
+
+        Stacks the per-step batch dicts on a leading axis and scans over
+        them on device. Returns the summed cost (device array)."""
+        stacked = {
+            key: np.stack([b[key] for b in batches]) for key in batches[0]
+        }
+        self.params, self.opt_state, cost_sum = self._train_multi(
+            self.params, self.opt_state, stacked
+        )
+        return cost_sum
 
     def train_function(self, batch):
         """One optimizer step; returns the batch cost WITHOUT syncing.
@@ -584,14 +619,18 @@ class RNNBase:
             while time() - start_time < max_time and iterations < max_iter:
                 # train on one batch (async; costs sync at checkpoints)
                 try:
-                    batch = next(batch_generator)
-                    cost = self.train_function(batch)
+                    K = self.steps_per_dispatch
+                    if K > 1:
+                        batches = [next(batch_generator) for _ in range(K)]
+                        cost = self.train_function_multi(batches)
+                    else:
+                        cost = self.train_function(next(batch_generator))
                 except StopIteration:
                     break
 
                 cost_sum = cost if cost_sum is None else cost_sum + cost
-                cost_count += 1
-                iterations += 1
+                cost_count += self.steps_per_dispatch
+                iterations += self.steps_per_dispatch
 
                 if time_based_progress:
                     progress_indicator = int(time() - start_time)

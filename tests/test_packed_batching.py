@@ -80,3 +80,31 @@ def test_prefetch_wrapper_yields_same_items():
     src = list(range(17))
     out = list(RNNOneHot._prefetch(iter(src), depth=3))
     assert out == src
+
+
+def test_multi_step_dispatch_matches_single(synthetic_handler):
+    """K fused steps must produce the same params as K sequential steps."""
+    def make(seed):
+        m = _model(synthetic_handler, batch_size=8)
+        m.set_dataset(synthetic_handler)
+        m.params = m._init_params()
+        m._build_functions()
+        m.opt_state = m._opt.init(m.params)
+        return m
+
+    a, b = make(0), make(0)
+    gen_a = a._gen_packed_mini_batch(synthetic_handler.training_set, np.random.default_rng(5))
+    gen_b = b._gen_packed_mini_batch(synthetic_handler.training_set, np.random.default_rng(5))
+
+    batches = [next(gen_a) for _ in range(4)]
+    _ = [next(gen_b) for _ in range(4)]  # keep generators aligned
+
+    cost_multi = a.train_function_multi(batches)
+    costs_single = [b.train_function(x) for x in batches]
+
+    np.testing.assert_allclose(
+        float(cost_multi), sum(float(c) for c in costs_single), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.params["W_out"]), np.asarray(b.params["W_out"]), rtol=1e-5, atol=1e-6
+    )

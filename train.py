@@ -71,6 +71,13 @@ def training_command_parser(parser):
         default="",
         type=str,
     )
+    parser.add_argument(
+        "--spd",
+        dest="steps_per_dispatch",
+        help="Optimizer steps fused into one device dispatch (amortizes remote-dispatch overhead).",
+        default=1,
+        type=int,
+    )
 
 
 def num(s):
@@ -94,6 +101,8 @@ def main(argv=None):
         shuffle_training=args.tshuffle,
     )
     predictor.prepare_model(dataset)
+    if args.steps_per_dispatch > 1 and hasattr(predictor, "steps_per_dispatch"):
+        predictor.steps_per_dispatch = args.steps_per_dispatch
 
     profile_ctx = None
     if args.profile:
