@@ -619,7 +619,9 @@ class RNNBase:
             while time() - start_time < max_time and iterations < max_iter:
                 # train on one batch (async; costs sync at checkpoints)
                 try:
-                    K = self.steps_per_dispatch
+                    # fused multi-step dispatch needs fixed batch shapes,
+                    # which only the packed fast batcher guarantees
+                    K = self.steps_per_dispatch if self._fast_batching_ok() else 1
                     if K > 1:
                         batches = [next(batch_generator) for _ in range(K)]
                         cost = self.train_function_multi(batches)
