@@ -227,6 +227,7 @@ class RNNBase:
         opt = self._opt = self.updater.make()
 
         def train_step(params, opt_state, batch):
+            batch = self._expand_wire(batch)
             cost, grads = jax.value_and_grad(self._loss)(params, batch)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
@@ -241,6 +242,7 @@ class RNNBase:
 
             def body(carry, batch):
                 params, opt_state = carry
+                batch = self._expand_wire(batch)
                 cost, grads = jax.value_and_grad(self._loss)(params, batch)
                 updates, opt_state = opt.update(grads, opt_state, params)
                 params = jax.tree_util.tree_map(
@@ -307,6 +309,45 @@ class RNNBase:
         )
         return cost_sum
 
+    def train_function_stacked(self, payload) -> "jax.Array":
+        """Like ``train_function_multi`` but takes an already-stacked
+        (and usually already device-resident) K-step payload."""
+        self.params, self.opt_state, cost_sum = self._train_multi(
+            self.params, self.opt_state, payload
+        )
+        return cost_sum
+
+    def _gen_dispatch_payloads(self, batch_gen, K: int):
+        """Stack K wire batches and start their host->device transfer.
+
+        Runs inside the prefetch thread so stacking AND the transfer
+        overlap the previous dispatch's device compute — the training
+        loop then only enqueues ``_train_multi`` on device-resident
+        buffers (``jax.device_put`` is async)."""
+        import jax
+
+        while True:
+            batches = []
+            for _ in range(K):
+                try:
+                    batches.append(next(batch_gen))
+                except StopIteration:
+                    return
+            stacked = {
+                key: np.stack([b[key] for b in batches]) for key in batches[0]
+            }
+            yield jax.device_put(stacked)
+
+    def _gen_device_payloads(self, training_set, rng, K: int):
+        """The fast-path payload pipeline: the packed batcher assembles
+        K batches in one numpy pass (``n_stack``) and the host->device
+        transfer is started immediately; run under ``_prefetch`` so both
+        overlap the previous dispatch's device compute."""
+        import jax
+
+        for payload in self._gen_packed_mini_batch(training_set, rng, n_stack=K):
+            yield jax.device_put(payload)
+
     def train_function(self, batch):
         """One optimizer step; returns the batch cost WITHOUT syncing.
 
@@ -358,19 +399,27 @@ class RNNBase:
             and np.isfinite(self.max_length)
         )
 
-    def _gen_packed_mini_batch(self, training_set, rng=None):
+    def _gen_packed_mini_batch(self, training_set, rng=None, n_stack=0):
         """Vectorized equivalent of ``_gen_mini_batch``: same multi-cut
         sampling per sequence (rnn_base.py:396-415), but batches are
         assembled with numpy slice copies from the packed SequenceStore
         instead of per-item Python featurization (~20x the generator
-        throughput — needed to keep the TPU step fed)."""
+        throughput — needed to keep the TPU step fed).
+
+        With ``n_stack=K`` the generator assembles K batches in ONE numpy
+        pass (a [K*B] super-batch) and yields a dict of [K, B, ...]
+        arrays ready for the fused K-step dispatch — amortizing the
+        fixed per-numpy-op cost that dominates at small B. A sequence's
+        cuts may then span adjacent sub-batches; the per-cut sampling
+        distribution (multiple random cuts per drawn sequence, batch
+        filled in draw order) is unchanged."""
         store = training_set.store
         lengths = store.lengths
         offsets = store.offsets
         eligible = np.where(lengths >= 3)[0]
         if len(eligible) == 0:
             raise ValueError("no trainable sequences (all shorter than 3)")
-        B, L, F = self.batch_size, self.max_length, self.n_feature_slots
+        B, L, F = self.batch_size * max(1, n_stack), self.max_length, self.n_feature_slots
         rng = rng if rng is not None else self.rng
         order = eligible.copy()
         pos = len(order)
@@ -420,13 +469,72 @@ class RNNBase:
                 packed["id_mask"] = np.broadcast_to(
                     mask[:, :, None], ids.shape
                 ).astype(np.float32)
-            yield self._finalize_packed_batch(packed, target_ratings)
+            batch = self._compact_wire(
+                self._finalize_packed_batch(packed, target_ratings), m
+            )
+            if n_stack:
+                batch = self._restack_wire(batch, n_stack)
+            yield batch
+
+    def _restack_wire(self, batch: dict, n_stack: int) -> dict:
+        """Reshape a [K*B]-row super-batch into the [K, B, ...] layout
+        the fused K-step dispatch scans over. Model hook: subclasses
+        whose batches carry per-step shared fields (e.g. negative-sample
+        sets) override this to redraw them per K slot."""
+        B_super = self.batch_size * n_stack
+        out = {}
+        for key, v in batch.items():
+            v = np.asarray(v)
+            if v.ndim and v.shape[0] == B_super:
+                out[key] = v.reshape(n_stack, self.batch_size, *v.shape[1:])
+            else:
+                # per-model constants (e.g. margin's default-target
+                # vector) replicate across the K axis
+                out[key] = np.broadcast_to(v, (n_stack,) + v.shape)
+        return out
 
     def _finalize_packed_batch(self, packed: dict, target_ratings) -> dict:
         """Model hook: add loss-specific fields to a packed batch
         (vectorized). Default covers the CCE batch layout."""
         packed["target_pop"] = np.ones(len(packed["targets"]), dtype=np.float32)
         return packed
+
+    # wire-format compaction: the packed generator's masks are always
+    # prefix masks, so the [B,L] float mask (and its [B,L,F] broadcast)
+    # need not cross the host->device link at all — ship the [B] prefix
+    # lengths and rebuild the masks on device inside the jitted step.
+    # Item ids travel as int16 when the feature-id space fits. Halves to
+    # quarters the per-step payload; the link (not the MXU) is the
+    # bottleneck of this model class at deployment batch sizes.
+    _WIRE_ID_KEYS = ("ids", "targets", "seen_ids", "target_ids")
+
+    def _compact_wire(self, packed: dict, prefix_lengths) -> dict:
+        packed.pop("mask", None)
+        packed.pop("id_mask", None)
+        packed["lengths"] = prefix_lengths.astype(np.int32)
+        if self._input_size() + 1 < np.iinfo(np.int16).max:
+            for key in self._WIRE_ID_KEYS:
+                if key in packed and packed[key].dtype == np.int32:
+                    packed[key] = packed[key].astype(np.int16)
+        return packed
+
+    def _expand_wire(self, batch: dict) -> dict:
+        """Inverse of ``_compact_wire``; runs inside jit (traced)."""
+        if "lengths" not in batch:
+            return batch
+        batch = dict(batch)
+        lengths = batch.pop("lengths")
+        for key in self._WIRE_ID_KEYS:
+            if key in batch and batch[key].dtype == jnp.int16:
+                batch[key] = batch[key].astype(jnp.int32)
+        L = batch["ids"].shape[-2]
+        mask = (jnp.arange(L) < lengths[:, None]).astype(jnp.float32)
+        batch["mask"] = mask
+        if self.n_feature_slots > 1:
+            batch["id_mask"] = jnp.broadcast_to(
+                mask[..., None], batch["ids"].shape
+            ).astype(jnp.float32)
+        return batch
 
     @staticmethod
     def _prefetch(generator, depth: int = 4):
@@ -596,11 +704,18 @@ class RNNBase:
         if self._fast_batching_ok():
             # vectorized packed batches, assembled in a prefetch thread
             # (with a dedicated RNG: numpy Generators are not thread-safe)
-            batch_generator = self._prefetch(
-                self._gen_packed_mini_batch(
-                    dataset.training_set, np.random.default_rng(self.seed + 77)
+            batch_rng = np.random.default_rng(self.seed + 77)
+            if self.steps_per_dispatch > 1:
+                batch_generator = self._prefetch(
+                    self._gen_device_payloads(
+                        dataset.training_set, batch_rng, self.steps_per_dispatch
+                    ),
+                    depth=2,
                 )
-            )
+            else:
+                batch_generator = self._prefetch(
+                    self._gen_packed_mini_batch(dataset.training_set, batch_rng)
+                )
         else:
             batch_generator = self._gen_mini_batch(
                 self.sequence_noise(dataset.training_set())
@@ -623,8 +738,7 @@ class RNNBase:
                     # which only the packed fast batcher guarantees
                     K = self.steps_per_dispatch if self._fast_batching_ok() else 1
                     if K > 1:
-                        batches = [next(batch_generator) for _ in range(K)]
-                        cost = self.train_function_multi(batches)
+                        cost = self.train_function_stacked(next(batch_generator))
                     else:
                         cost = self.train_function(next(batch_generator))
                 except StopIteration:

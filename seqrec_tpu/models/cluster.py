@@ -285,6 +285,24 @@ class RNNCluster(RNNBase):
         packed["noise_seed"] = np.int32(self._noise_seed)
         return packed
 
+    def _restack_wire(self, batch, n_stack):
+        out = super()._restack_wire(batch, n_stack)
+        # sample sets and the selection-noise seed are per optimizer
+        # step: redraw/advance them for each of the K fused steps
+        samples = [np.asarray(batch["samples"])]
+        cluster_samples = [np.asarray(batch["cluster_samples"])]
+        seeds = [np.int32(batch["noise_seed"])]
+        for _ in range(n_stack - 1):
+            s, cs = self._draw_sample_sets()
+            self._noise_seed += 1
+            samples.append(s)
+            cluster_samples.append(cs)
+            seeds.append(np.int32(self._noise_seed))
+        out["samples"] = np.stack(samples)
+        out["cluster_samples"] = np.stack(cluster_samples)
+        out["noise_seed"] = np.asarray(seeds, dtype=np.int32)
+        return out
+
     def _prepare_input(self, sequences):
         ids, id_mask, mask = self._encode_sequences([s[1] for s in sequences])
         targets = np.array([s[2][0][0] for s in sequences], dtype=np.int32)

@@ -124,6 +124,16 @@ class RNNSampling(RNNBase):
         packed["samples"] = self._draw_samples()
         return packed
 
+    def _restack_wire(self, batch, n_stack):
+        out = super()._restack_wire(batch, n_stack)
+        # negative samples are shared within one optimizer step but must
+        # be fresh across the K fused steps
+        out["samples"] = np.stack(
+            [np.asarray(batch["samples"])]
+            + [self._draw_samples() for _ in range(n_stack - 1)]
+        )
+        return out
+
     def _prepare_input(self, sequences):
         ids, id_mask, mask = self._encode_sequences([s[1] for s in sequences])
         targets = np.array([s[2][0][0] for s in sequences], dtype=np.int32)

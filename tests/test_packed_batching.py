@@ -41,9 +41,11 @@ def test_packed_batch_matches_store(synthetic_handler):
     )
     for _ in range(5):
         batch = next(gen)
-        ids, mask, targets = batch["ids"], batch["mask"], batch["targets"]
-        assert ids.shape == (16, 10, 1) and mask.shape == (16, 10)
-        lengths = mask.sum(axis=1).astype(int)
+        ids, targets = batch["ids"], batch["targets"]
+        # wire format: prefix lengths instead of a dense mask, narrow ids
+        assert "mask" not in batch and batch["lengths"].dtype == np.int32
+        assert ids.shape == (16, 10, 1)
+        lengths = batch["lengths"].astype(int)
         assert (lengths >= 2).all()
         # every row's prefix+target must appear contiguously in the store
         flat = store.items
@@ -74,6 +76,46 @@ def test_packed_batch_epoch_counter_advances(synthetic_handler):
     for _ in range(20):
         next(gen)
     assert synthetic_handler.training_set.epochs > e1
+
+
+def test_wire_expand_rebuilds_masks(synthetic_handler):
+    """_expand_wire must reproduce the dense prefix masks and int32 ids."""
+    import jax.numpy as jnp
+
+    m = _model(synthetic_handler, use_ratings_features=True)
+    gen = m._gen_packed_mini_batch(
+        synthetic_handler.training_set, np.random.default_rng(7)
+    )
+    batch = next(gen)
+    assert batch["ids"].dtype == np.int16  # small catalog -> narrow wire
+    expanded = m._expand_wire({k: jnp.asarray(v) for k, v in batch.items()})
+    assert expanded["ids"].dtype == jnp.int32
+    L = batch["ids"].shape[1]
+    want = (np.arange(L)[None, :] < batch["lengths"][:, None]).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(expanded["mask"]), want)
+    np.testing.assert_array_equal(
+        np.asarray(expanded["id_mask"]),
+        np.broadcast_to(want[:, :, None], batch["ids"].shape),
+    )
+
+
+def test_dispatch_payload_pipeline_matches(synthetic_handler):
+    """The device_put payload path must equal the per-batch list path."""
+    a = _model(synthetic_handler, batch_size=8)
+    b = _model(synthetic_handler, batch_size=8)
+    for m in (a, b):
+        m.params = m._init_params()
+        m._build_functions()
+        m.opt_state = m._opt.init(m.params)
+    gen_a = a._gen_packed_mini_batch(synthetic_handler.training_set, np.random.default_rng(9))
+    gen_b = b._gen_packed_mini_batch(synthetic_handler.training_set, np.random.default_rng(9))
+    payload = next(a._gen_dispatch_payloads(gen_a, 3))
+    cost_a = a.train_function_stacked(payload)
+    cost_b = b.train_function_multi([next(gen_b) for _ in range(3)])
+    np.testing.assert_allclose(float(cost_a), float(cost_b), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(a.params["W_out"]), np.asarray(b.params["W_out"]), rtol=1e-5, atol=1e-6
+    )
 
 
 def test_prefetch_wrapper_yields_same_items():
