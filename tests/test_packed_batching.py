@@ -150,3 +150,77 @@ def test_multi_step_dispatch_matches_single(synthetic_handler):
     np.testing.assert_allclose(
         np.asarray(a.params["W_out"]), np.asarray(b.params["W_out"]), rtol=1e-5, atol=1e-6
     )
+
+
+def test_stacked_generator_matches_layout(synthetic_handler):
+    """n_stack=K yields [K, B, ...] arrays covering K*B distinct cuts."""
+    m = _model(synthetic_handler, batch_size=8)
+    gen = m._gen_packed_mini_batch(
+        synthetic_handler.training_set, np.random.default_rng(4), n_stack=3
+    )
+    batch = next(gen)
+    assert batch["ids"].shape == (3, 8, 10, 1)
+    assert batch["lengths"].shape == (3, 8)
+    assert batch["targets"].shape == (3, 8)
+
+
+def test_sampling_restack_draws_fresh_samples(synthetic_handler):
+    from seqrec_tpu.models.rnn_sampling import RNNSampling
+    from seqrec_tpu.models.recurrent import RecurrentLayers
+    from seqrec_tpu.models.updates import Adam
+
+    m = RNNSampling(
+        loss_function="BPR",
+        sampling=32,
+        recurrent_layer=RecurrentLayers("GRU", [8]),
+        updater=Adam(0.01),
+        max_length=10,
+        batch_size=8,
+        seed=0,
+    )
+    m.prepare_model(synthetic_handler)
+    m.set_dataset(synthetic_handler)
+    gen = m._gen_packed_mini_batch(
+        synthetic_handler.training_set, np.random.default_rng(4), n_stack=4
+    )
+    batch = next(gen)
+    assert batch["samples"].shape == (4, 32)
+    # each fused step must see an independent negative-sample draw
+    assert any(
+        not np.array_equal(batch["samples"][0], batch["samples"][i])
+        for i in range(1, 4)
+    )
+
+
+def test_cluster_restack_advances_noise_seed(synthetic_handler):
+    from seqrec_tpu.models.cluster import RNNCluster
+    from seqrec_tpu.models.recurrent import RecurrentLayers
+    from seqrec_tpu.models.updates import Adam
+
+    m = RNNCluster(
+        n_clusters=4,
+        loss="Blackout",
+        sampling=16,
+        recurrent_layer=RecurrentLayers("GRU", [8]),
+        updater=Adam(0.01),
+        max_length=10,
+        batch_size=8,
+        seed=0,
+    )
+    m.prepare_model(synthetic_handler)
+    m.set_dataset(synthetic_handler)
+    gen = m._gen_packed_mini_batch(
+        synthetic_handler.training_set, np.random.default_rng(4), n_stack=3
+    )
+    batch = next(gen)
+    seeds = batch["noise_seed"]
+    assert seeds.shape == (3,) and len(set(seeds.tolist())) == 3
+    assert batch["samples"].shape[0] == 3 and batch["cluster_samples"].shape[0] == 3
+    # stacked payloads must feed the fused dispatch end to end
+    m.params = m._init_params()
+    m._build_functions()
+    m.opt_state = m._opt.init(m.params)
+    import jax
+
+    cost = m.train_function_stacked(jax.device_put(batch))
+    assert np.isfinite(float(cost))
