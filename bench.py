@@ -110,11 +110,8 @@ def measure_end_to_end(model, steps: int) -> float:
     # the real training-loop pipeline: packed batch assembly, K-step
     # stacking and the host->device transfer all happen in the prefetch
     # thread; the timed loop only enqueues device steps.
-    gen = model._prefetch(
-        model._gen_device_payloads(
-            handler.training_set, np.random.default_rng(5), K
-        ),
-        depth=2,
+    gen = model._payload_pipeline(
+        handler.training_set, np.random.default_rng(5), K
     )
     if model.opt_state is None:
         model.opt_state = model._opt.init(model.params)

@@ -338,15 +338,26 @@ class RNNBase:
             }
             yield jax.device_put(stacked)
 
-    def _gen_device_payloads(self, training_set, rng, K: int):
-        """The fast-path payload pipeline: the packed batcher assembles
-        K batches in one numpy pass (``n_stack``) and the host->device
-        transfer is started immediately; run under ``_prefetch`` so both
-        overlap the previous dispatch's device compute."""
+    def _payload_pipeline(self, training_set, rng, K: int, depth: int = 2):
+        """The fast-path payload pipeline, two overlapped stages:
+
+        thread A: packed assembly of K batches per numpy pass (n_stack)
+        thread B: ``jax.device_put`` (starts the host->device transfer)
+        main:     enqueue the fused K-step dispatch
+
+        Assembly, transfer and device compute of consecutive payloads
+        all run concurrently; either stage alone would serialize the
+        other behind it (the transfer's host-side cost is comparable to
+        the assembly cost at deployment batch sizes)."""
         import jax
 
-        for payload in self._gen_packed_mini_batch(training_set, rng, n_stack=K):
-            yield jax.device_put(payload)
+        host = self._prefetch(
+            self._gen_packed_mini_batch(training_set, rng, n_stack=K),
+            depth=depth,
+        )
+        return self._prefetch(
+            (jax.device_put(p) for p in host), depth=depth
+        )
 
     def train_function(self, batch):
         """One optimizer step; returns the batch cost WITHOUT syncing.
@@ -540,27 +551,49 @@ class RNNBase:
     def _prefetch(generator, depth: int = 4):
         """Background-thread prefetch (the reference ships a disabled
         version of this, rnn_base.py:34-56,273-274; ours is on by
-        default so host batch assembly overlaps device steps)."""
+        default so host batch assembly overlaps device steps).
+
+        The producer checks a stop flag between bounded puts so that
+        closing (or garbage-collecting) the returned generator releases
+        the thread — prefetch stages are nested (assembly -> transfer)
+        and a thread left blocked in ``q.put`` at interpreter shutdown
+        can abort the process from the runtime's C++ layer."""
         import queue
         import threading
 
         q: "queue.Queue" = queue.Queue(maxsize=depth)
         sentinel = object()
+        stop = threading.Event()
 
         def producer():
             try:
                 for item in generator:
-                    q.put(item)
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
             finally:
-                q.put(sentinel)
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    return
+                yield item
+        finally:
+            stop.set()
 
     # ------------------------------------------------------------------
     # mini-batch generation (reference semantics, rnn_base.py:373-420)
@@ -706,11 +739,8 @@ class RNNBase:
             # (with a dedicated RNG: numpy Generators are not thread-safe)
             batch_rng = np.random.default_rng(self.seed + 77)
             if self.steps_per_dispatch > 1:
-                batch_generator = self._prefetch(
-                    self._gen_device_payloads(
-                        dataset.training_set, batch_rng, self.steps_per_dispatch
-                    ),
-                    depth=2,
+                batch_generator = self._payload_pipeline(
+                    dataset.training_set, batch_rng, self.steps_per_dispatch
                 )
             else:
                 batch_generator = self._prefetch(
