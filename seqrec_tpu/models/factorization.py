@@ -219,6 +219,10 @@ class MFBase:
                 if progress_indicator >= min_iterations:
                     epochs.append(epochs_offset + iterations / n_interactions)
                     train_costs.append(np.mean(current_train_cost))
+                    if np.isnan(train_costs[-1]):
+                        # divergence abort, as in the reference
+                        # (fism.py:85-86; rnn_base.py:291-292)
+                        raise ValueError("Cost is NaN")
                     current_train_cost = []
                     metrics = self._compute_validation_metrics(metrics)
                     self._print_progress(
@@ -579,6 +583,35 @@ class FPMC(MFBase):
 
 
 # ======================================================================
+def _scan_subchunks(chunk_fn, n_params: int, n_sub: int):
+    """Wrap a vectorized SGD chunk into ``n_sub`` sequential sub-chunks
+    scanned on device (one dispatch, params refreshed between sub-chunks).
+
+    Needed for the basket models (FISM/Fossil): a user's whole history
+    scatters into V, so a 512-sample chunk hits each hot item's row with
+    dozens of colliding updates computed from the SAME stale parameters
+    — the sum overshoots and diverges where the reference's per-sample
+    sequential SGD (fism.py:94-96) is stable. Scanning sub-chunks keeps
+    collision counts per update ~1 while staying a single device call."""
+
+    def wrapped(*args):
+        params = args[:n_params]
+        lr = args[-1]
+        data = [
+            d.reshape(n_sub, d.shape[0] // n_sub, *d.shape[1:])
+            for d in args[n_params:-1]
+        ]
+
+        def body(carry, xs):
+            out = chunk_fn(*carry, *xs, lr)
+            return tuple(out[:-1]), out[-1]
+
+        params, costs = jax.lax.scan(body, tuple(params), tuple(data))
+        return (*params, costs.mean())
+
+    return wrapped
+
+
 def _pad_rows(rows, pad_to, pad_value):
     """Pad a list of 1-D int arrays to [N, pad_to]; returns (ids, mask)."""
     n = len(rows)
@@ -630,14 +663,21 @@ class FISM(MFBase):
             self.init_sigma * self.rng.standard_normal((self.n_items, self.k)), jnp.float32
         )
         self.bias = jnp.zeros(self.n_items, jnp.float32)
-        if self.loss == "BPR":
-            self._step = jax.jit(
-                partial(self._auc_chunk, self.reg, self.alpha), donate_argnums=(0, 1, 2)
-            )
-        else:
-            self._step = jax.jit(
-                partial(self._rmse_chunk, self.reg, self.alpha), donate_argnums=(0, 1, 2)
-            )
+        self._step = self._make_step()
+
+    # basket scatters collide heavily (see _scan_subchunks); sub-chunk
+    # size = samples_per_step / sub_chunks
+    sub_chunks = 16
+
+    def _make_step(self):
+        chunk = partial(
+            self._auc_chunk if self.loss == "BPR" else self._rmse_chunk,
+            self.reg,
+            self.alpha,
+        )
+        return jax.jit(
+            _scan_subchunks(chunk, 3, self.sub_chunks), donate_argnums=(0, 1, 2)
+        )
 
     @staticmethod
     def _auc_chunk(reg, alpha, V, H, bias, basket, bmask, i, j, lr):
@@ -744,14 +784,7 @@ class FISM(MFBase):
         self.V = f["V"]
         self.H = f["H"]
         self.bias = f["bias"]
-        if self.loss == "BPR":
-            self._step = jax.jit(
-                partial(self._auc_chunk, self.reg, self.alpha), donate_argnums=(0, 1, 2)
-            )
-        else:
-            self._step = jax.jit(
-                partial(self._rmse_chunk, self.reg, self.alpha), donate_argnums=(0, 1, 2)
-            )
+        self._step = self._make_step()
 
 
 # ======================================================================
@@ -782,8 +815,15 @@ class Fossil(MFBase):
         self.eta = jnp.asarray(s * rnd((self.n_users, self.order)), jnp.float32)
         self.eta_bias = jnp.zeros(self.order, jnp.float32)
         self.bias = jnp.zeros(self.n_items, jnp.float32)
-        self._step = jax.jit(
-            partial(self._sgd_chunk, self.reg, self.alpha, self.order),
+        self._step = self._make_step()
+
+    # see FISM.sub_chunks / _scan_subchunks
+    sub_chunks = 16
+
+    def _make_step(self):
+        chunk = partial(self._sgd_chunk, self.reg, self.alpha, self.order)
+        return jax.jit(
+            _scan_subchunks(chunk, 5, self.sub_chunks),
             donate_argnums=(0, 1, 2, 3, 4),
         )
 
@@ -822,9 +862,14 @@ class Fossil(MFBase):
         bias = bias.at[j].add(lr * (-d - reg * bias[j]))
 
         grad_eta = jnp.einsum("nok,nk->no", Vrecent, dH)  # [N, order]
-        eta_bias = eta_bias + (
-            lr * (delta * grad_eta - reg * eta_bias * rmask)
-        ).sum(axis=0)
+        # eta_bias is GLOBAL: every sample in the chunk updates it, so a
+        # summed update means an effective learning rate of lr*chunk_size
+        # on this one parameter — it random-walks to divergence. Use the
+        # per-position mean (≈ per-sample step size, fossil.py:96).
+        n_eff = jnp.maximum(rmask.sum(axis=0), 1.0)
+        eta_bias = eta_bias + lr * (
+            (delta * grad_eta).sum(axis=0) / n_eff - reg * eta_bias
+        )
         eta = eta.at[u].add(lr * (delta * grad_eta - reg * eta[u] * rmask))
         return V, H, bias, eta, eta_bias, d.mean()
 
@@ -896,7 +941,4 @@ class Fossil(MFBase):
         self.bias = f["bias"]
         self.eta = f["eta"]
         self.eta_bias = f["eta_bias"]
-        self._step = jax.jit(
-            partial(self._sgd_chunk, self.reg, self.alpha, self.order),
-            donate_argnums=(0, 1, 2, 3, 4),
-        )
+        self._step = self._make_step()
