@@ -193,7 +193,8 @@ class MFBase:
         start_time = time()
         next_save = int(progress)
         train_costs = []
-        current_train_cost = []
+        cost_sum = None  # device-side running sum: ONE host pull per checkpoint
+        cost_count = 0
         epochs = []
         metrics = {name: [] for name in self.metrics.keys()}
         filename = {}
@@ -201,8 +202,11 @@ class MFBase:
         next_anneal = n_interactions
 
         while time() - start_time < max_time and iterations < max_iter:
+            # cost stays a device array so consecutive chunks pipeline
+            # (host-side sampling overlaps device compute)
             cost, consumed = self.training_step(iterations)
-            current_train_cost.append(cost)
+            cost_sum = cost if cost_sum is None else cost_sum + cost
+            cost_count += 1
             iterations += consumed
 
             # lr annealing once per epoch-worth of samples (mf_base.py:152-153)
@@ -218,12 +222,12 @@ class MFBase:
             if progress_indicator >= next_save:
                 if progress_indicator >= min_iterations:
                     epochs.append(epochs_offset + iterations / n_interactions)
-                    train_costs.append(np.mean(current_train_cost))
+                    train_costs.append(float(cost_sum) / max(cost_count, 1))
                     if np.isnan(train_costs[-1]):
                         # divergence abort, as in the reference
                         # (fism.py:85-86; rnn_base.py:291-292)
                         raise ValueError("Cost is NaN")
-                    current_train_cost = []
+                    cost_sum, cost_count = None, 0
                     metrics = self._compute_validation_metrics(metrics)
                     self._print_progress(
                         iterations, epochs[-1], start_time, train_costs, metrics, validation_metrics
@@ -284,21 +288,6 @@ class MFBase:
     # host-side sampling helpers ----------------------------------------
     def _sample_users(self, n: int) -> np.ndarray:
         return self.rng.choice(self._eligible_users, size=n)
-
-    def _uniform_negatives(self, forbidden_rows, n: int) -> np.ndarray:
-        """Vectorized rejection sampling of negatives.
-
-        forbidden_rows: list/array of per-sample forbidden item sets
-        (as numpy arrays)."""
-        out = self.rng.integers(0, self.n_items, size=n)
-        for _ in range(20):
-            bad = np.array(
-                [out[i] in forbidden_rows[i] for i in range(n)], dtype=bool
-            )
-            if not bad.any():
-                break
-            out[bad] = self.rng.integers(0, self.n_items, size=int(bad.sum()))
-        return out
 
     def _uniform_negatives_for_users(self, users: np.ndarray) -> np.ndarray:
         """Uniform negatives not in each user's FULL history (CSR-backed
@@ -414,7 +403,7 @@ class BPRMF(MFBase):
         self.V, self.H, self.bias, cost = self._step(
             self.V, self.H, self.bias, u, i, j, np.float32(self.learning_rate)
         )
-        return float(cost), n
+        return cost, n
 
     # ------------------------------------------------------------------
     def top_k_recommendations(self, sequence, user_id=None, k=10, exclude=None):
@@ -547,7 +536,7 @@ class FPMC(MFBase):
             j,
             np.float32(self.learning_rate),
         )
-        return float(cost), n
+        return cost, n
 
     def top_k_recommendations(self, sequence, user_id=None, k=10, exclude=None):
         if exclude is None:
@@ -610,18 +599,6 @@ def _scan_subchunks(chunk_fn, n_params: int, n_sub: int):
         return (*params, costs.mean())
 
     return wrapped
-
-
-def _pad_rows(rows, pad_to, pad_value):
-    """Pad a list of 1-D int arrays to [N, pad_to]; returns (ids, mask)."""
-    n = len(rows)
-    out = np.full((n, pad_to), pad_value, dtype=np.int64)
-    mask = np.zeros((n, pad_to), dtype=np.float32)
-    for s, r in enumerate(rows):
-        r = r[:pad_to]
-        out[s, : len(r)] = r
-        mask[s, : len(r)] = 1.0
-    return out, mask
 
 
 def _bucket(n: int) -> int:
@@ -728,23 +705,25 @@ class FISM(MFBase):
 
     # ------------------------------------------------------------------
     def _sample_baskets(self, n):
+        """Vectorized basket assembly: one gather over the flat item
+        array instead of per-sample python slicing/choice (same sampling
+        distribution; ~10x the host throughput)."""
         users = self._sample_users(n)
-        rows, trues, falses = [], np.empty(n, dtype=np.int64), None
-        full_rows = []
-        for s, u in enumerate(users):
-            r = self.items[self.users[u, 0] : self.users[u, 0] + self.users[u, 1]]
-            true_item = self.rng.choice(r)
-            trues[s] = true_item
-            full_rows.append(r)
-            rows.append(r[r != true_item])  # leave-one-out by value
-        falses = self._uniform_negatives(full_rows, n)
-        return rows, trues, falses
+        offs, lens = self.users[users, 0], self.users[users, 1]
+        trues = self.items[offs + self.rng.integers(0, lens)]
+        pad = _bucket(int(lens.max()))
+        j = np.arange(pad, dtype=np.int64)[None, :]
+        valid = j < lens[:, None]
+        basket = self.items[np.where(valid, offs[:, None] + j, 0)]
+        # leave-one-out by value (the exclusion fism.py:116 intends)
+        bmask = (valid & (basket != trues[:, None])).astype(np.float32)
+        basket = np.where(bmask > 0, basket, self.n_items)
+        falses = self._uniform_negatives_for_users(users)
+        return basket, bmask, trues, falses
 
     def training_step(self, iterations):
         n = self.samples_per_step
-        rows, trues, falses = self._sample_baskets(n)
-        pad = _bucket(max(len(r) for r in rows))
-        basket, bmask = _pad_rows(rows, pad, self.n_items)
+        basket, bmask, trues, falses = self._sample_baskets(n)
         if self.loss == "BPR":
             self.V, self.H, self.bias, cost = self._step(
                 self.V, self.H, self.bias, basket, bmask, trues, falses,
@@ -759,7 +738,7 @@ class FISM(MFBase):
                 self.V, self.H, self.bias, basket, bmask, items, ratings,
                 np.float32(self.learning_rate),
             )
-        return float(cost), n
+        return cost, n
 
     def item_score(self, user_items):
         V, H, bias = self._np("V"), self._np("H"), self._np("bias")
@@ -875,25 +854,33 @@ class Fossil(MFBase):
 
     # ------------------------------------------------------------------
     def _sample_chunk(self, n):
+        """Vectorized prefix/recent assembly (one gather over the flat
+        item array; same sampling distribution as per-row slicing).
+        Negatives reject against the user's FULL history (superset of the
+        reference's prefix+target set, fossil.py sampling)."""
         users = self._sample_users(n)
-        prefixes, trues = [], np.empty(n, dtype=np.int64)
-        full = []
-        for s, u in enumerate(users):
-            r = self.items[self.users[u, 0] : self.users[u, 0] + self.users[u, 1]]
-            t = self.rng.integers(1, len(r))
-            trues[s] = r[t]
-            prefixes.append(r[:t])
-            full.append(r[: t + 1])
-        falses = self._uniform_negatives(full, n)
-        return users, prefixes, trues, falses
+        offs, lens = self.users[users, 0], self.users[users, 1]
+        t = self.rng.integers(1, lens)  # prefix length; target = item t
+        trues = self.items[offs + t]
+        pad = _bucket(int(t.max()))
+        j = np.arange(pad, dtype=np.int64)[None, :]
+        valid = j < t[:, None]
+        basket = np.where(
+            valid, self.items[np.where(valid, offs[:, None] + j, 0)], self.n_items
+        )
+        bmask = valid.astype(np.float32)
+        # the last ``order`` prefix items, most recent first
+        k = np.arange(self.order, dtype=np.int64)[None, :]
+        rvalid = k < t[:, None]
+        ridx = np.where(rvalid, offs[:, None] + t[:, None] - 1 - k, 0)
+        recent = np.where(rvalid, self.items[ridx], self.n_items)
+        rmask = rvalid.astype(np.float32)
+        falses = self._uniform_negatives_for_users(users)
+        return users, basket, bmask, recent, rmask, trues, falses
 
     def training_step(self, iterations):
         n = self.samples_per_step
-        users, prefixes, trues, falses = self._sample_chunk(n)
-        pad = _bucket(max(len(r) for r in prefixes))
-        basket, bmask = _pad_rows(prefixes, pad, self.n_items)
-        recents = [r[::-1][: self.order] for r in prefixes]
-        recent, rmask = _pad_rows(recents, self.order, self.n_items)
+        users, basket, bmask, recent, rmask, trues, falses = self._sample_chunk(n)
         (
             self.V,
             self.H,
@@ -906,7 +893,7 @@ class Fossil(MFBase):
             basket, bmask, recent, rmask, users, trues, falses,
             np.float32(self.learning_rate),
         )
-        return float(cost), n
+        return cost, n
 
     def item_score(self, user_id, user_items):
         V, H, bias = self._np("V"), self._np("H"), self._np("bias")
