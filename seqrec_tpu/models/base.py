@@ -269,6 +269,26 @@ class RNNBase:
 
         self._topk_jit = jax.jit(topk_fn, static_argnums=(6,))
 
+        def topk_wire_fn(params, ids, lengths, k):
+            # compact-wire variant: 2 input leaves instead of 5 (each
+            # leaf costs a transfer round trip on remote devices)
+            if ids.dtype == jnp.int16:
+                ids = ids.astype(jnp.int32)
+            L = ids.shape[-2]
+            mask = (jnp.arange(L) < lengths[:, None]).astype(jnp.float32)
+            id_mask = None
+            if self.n_feature_slots > 1:
+                id_mask = jnp.broadcast_to(
+                    mask[..., None], ids.shape
+                ).astype(jnp.float32)
+            if self.interactions_are_unique:
+                seen_ids, seen_mask = ids[:, :, 0], mask
+            else:
+                seen_ids, seen_mask = None, None
+            return topk_fn(params, ids, id_mask, mask, seen_ids, seen_mask, k)
+
+        self._topk_wire_jit = jax.jit(topk_wire_fn, static_argnums=(3,))
+
     # subclasses with a monotone head (softmax/identity over h·W_out+b)
     # set this to route batched eval through the fused Pallas kernel
     fused_eval_head = False
@@ -376,6 +396,21 @@ class RNNBase:
     # ------------------------------------------------------------------
     # prediction
     # ------------------------------------------------------------------
+    def _device_params(self):
+        """Device-resident view of ``self.params``, cached by identity.
+
+        Freshly initialized or checkpoint-loaded params are host numpy;
+        without this cache every prediction call would re-upload all
+        parameter tables (the whole output matrix among them) through
+        the device link. After a training step params are already
+        device arrays and ``device_put`` is a no-op."""
+        import jax
+
+        if getattr(self, "_dev_params_src", None) is not self.params:
+            self._dev_params = jax.device_put(self.params)
+            self._dev_params_src = self.params
+        return self._dev_params
+
     def top_k_recommendations(self, sequence, user_id=None, k=10, exclude=None):
         """Receives a sequence of (id, rating); returns k item ids.
 
@@ -387,7 +422,7 @@ class RNNBase:
         seq = sequence[-min(self.max_length, len(sequence)) :]
         ids, id_mask, mask = self._encode_sequences([seq])
         scores = np.array(
-            self._score_jit(self.params, ids, id_mask, mask)[0]
+            self._score_jit(self._device_params(), ids, id_mask, mask)[0]
         )
         if self.interactions_are_unique:
             scores[[int(i[0]) for i in sequence]] = -np.inf
@@ -650,23 +685,35 @@ class RNNBase:
             yield sequence[start:l], goal, user_id
 
     def _batched_recommendations(self, inputs, k: int = 10):
-        """Top-k for a list of input sequences, chunked on device."""
+        """Top-k for a list of input sequences, chunked on device.
+
+        All chunks are dispatched before any result is fetched: over a
+        remote-device link each dispatch/fetch costs a round trip, so
+        the pipeline hides (n_chunks - 1) of them. Inputs travel as the
+        compact wire format (ids + prefix lengths; masks and the
+        seen-item set are rebuilt on device)."""
+        import jax
+
         chunk = self.eval_batch_size
-        all_ids = []
+        params = self._device_params()
+        staged = []
         for c0 in range(0, len(inputs), chunk):
             batch = inputs[c0 : c0 + chunk]
             pad = chunk - len(batch)
             batch_p = batch + [batch[-1]] * pad
-            ids, id_mask, mask = self._encode_sequences(batch_p)
-            if self.interactions_are_unique:
-                seen_ids, seen_mask = ids[:, :, 0], mask
-            else:
-                seen_ids, seen_mask = None, None
-            topk = np.asarray(
-                self._topk_jit(self.params, ids, id_mask, mask, seen_ids, seen_mask, k)
-            )
-            all_ids.append(topk[: len(batch)])
-        return np.concatenate(all_ids, axis=0)
+            ids, _, mask = self._encode_sequences(batch_p)
+            lengths = mask.sum(axis=1).astype(np.int32)
+            if self._input_size() + 1 < np.iinfo(np.int16).max:
+                ids = ids.astype(np.int16)
+            # async upload: all chunk transfers start before any dispatch
+            staged.append((len(batch), jax.device_put((ids, lengths))))
+        pending = [
+            (n, self._topk_wire_jit(params, ids_d, len_d, k))
+            for n, (ids_d, len_d) in staged
+        ]
+        return np.concatenate(
+            [np.asarray(topk)[:n] for n, topk in pending], axis=0
+        )
 
     def _compute_validation_metrics(self, metrics):
         ev = evaluation.Evaluator(self.dataset, k=10)
