@@ -485,9 +485,15 @@ class RNNBase:
                 pos += 1
                 training_set.epochs = epoch + pos / len(order)
                 n = int(min(B - j, lengths[r] - 2))
-                sel_cuts[j : j + n] = rng.choice(
-                    np.arange(2, lengths[r]), size=n, replace=False
-                )
+                if n == lengths[r] - 2:
+                    # taking every cut: a sorted full sample IS the range
+                    # (rnn_base.py:398 sorts its random.sample); skipping
+                    # the RNG here is the common case and much cheaper
+                    sel_cuts[j : j + n] = np.arange(2, lengths[r])
+                else:
+                    sel_cuts[j : j + n] = np.sort(
+                        rng.choice(np.arange(2, lengths[r]), size=n, replace=False)
+                    )
                 sel_rows[j : j + n] = r
                 j += n
 
