@@ -104,8 +104,14 @@ class RNNMargin(RNNBase):
         seq_len = batch["mask"].sum(axis=1)
         w_neg = self.balance * t_count / (self.n_items - t_count - seq_len)
 
+        # default_target is a per-model constant ([n_items], set at
+        # prepare time); capture it in the jit instead of shipping it
+        # over the device link with every batch
+        default_target = batch.get("default_target")
+        if default_target is None:
+            default_target = jnp.asarray(self._default_target)
         Y = jnp.broadcast_to(
-            jnp.concatenate([batch["default_target"], jnp.zeros((1,), jnp.float32)]),
+            jnp.concatenate([default_target, jnp.zeros((1,), jnp.float32)]),
             (B, n1),
         )
         Y = Y.at[b_idx, tgt_ids].set(1.0)
@@ -131,7 +137,6 @@ class RNNMargin(RNNBase):
         packed["seen_ids"] = np.where(
             packed["mask"] > 0, packed["ids"][:, :, 0], self.n_items
         ).astype(np.int32)
-        packed["default_target"] = self._default_target
         del packed["targets"]
         return packed
 

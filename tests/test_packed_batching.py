@@ -224,3 +224,26 @@ def test_cluster_restack_advances_noise_seed(synthetic_handler):
 
     cost = m.train_function_stacked(jax.device_put(batch))
     assert np.isfinite(float(cost))
+
+
+def test_topk_wire_matches_dense_path(synthetic_handler):
+    """Compact-wire top-k must equal the 5-leaf dense-mask top-k."""
+    import jax.numpy as jnp
+
+    m = _model(synthetic_handler)
+    m.params = m._init_params()
+    m._build_functions()
+    rng = np.random.default_rng(11)
+    seqs = [
+        [(int(i), 1.0) for i in rng.integers(0, m.n_items, size=rng.integers(3, 10))]
+        for _ in range(16)
+    ]
+    ids, id_mask, mask = m._encode_sequences(seqs)
+    dense = np.asarray(
+        m._topk_jit(m.params, ids, id_mask, mask, ids[:, :, 0], mask, 5)
+    )
+    lengths = mask.sum(axis=1).astype(np.int32)
+    wire = np.asarray(
+        m._topk_wire_jit(m.params, ids.astype(np.int16), lengths, 5)
+    )
+    np.testing.assert_array_equal(dense, wire)
