@@ -219,3 +219,43 @@ class Evaluator:
                 topk = np.asarray(self._topk(prediction))
                 novelty += np.sum(np.log2(pop[topk] / nb_of_ratings)) / len(topk)
         return -novelty / len(self.instances)
+
+
+class DistributionCharacteristics:
+    """Popularity-distribution characteristics of a list of item ids.
+
+    Functional rebuild of the reference's vestigial helper
+    (/root/reference/helpers/evaluation.py:218-248), whose plotting calls
+    are commented out and whose popularity-category path depends on the
+    MovieLens-specific ``OTHER_FEATURES`` table (``None`` in the
+    reference). Here the same quantities are *returned* instead of
+    plotted; the category breakdown takes popularity counts directly.
+    """
+
+    def __init__(self, items):
+        import collections
+
+        self.items = collections.Counter(int(i) for i in items)
+
+    def frequency_distribution(self) -> dict:
+        """Map frequency -> number of distinct items with that frequency
+        (the log-log scatter the reference meant to plot)."""
+        import collections
+
+        return dict(collections.Counter(self.items.values()))
+
+    def popularity_distribution(self, item_popularity, n_bins: int = 10):
+        """Occurrence counts bucketed into ``n_bins`` popularity deciles
+        of ``item_popularity`` (the reference's bar plot, with popularity
+        categories derived from counts instead of the absent
+        ``OTHER_FEATURES[:, 3]`` table)."""
+        pop = np.asarray(item_popularity, dtype=np.float64)
+        order = np.argsort(np.argsort(pop))  # rank of each item
+        bins = np.minimum((order * n_bins) // max(len(pop), 1), n_bins - 1)
+        bars = np.zeros(n_bins)
+        for item, count in self.items.items():
+            bars[int(bins[item])] += count
+        return bars
+
+    def number_of_items(self) -> int:
+        return len(self.items)

@@ -113,3 +113,15 @@ def test_correct_prediction_collections(fake_dataset):
     correct = sorted(ev.get_correct_predictions())
     assert correct == [2, 2]
     assert ev.get_strict_goals() == [1, 2]
+
+
+def test_distribution_characteristics():
+    from seqrec_tpu.utils.evaluation import DistributionCharacteristics
+
+    d = DistributionCharacteristics([1, 1, 2, 3, 3, 3])
+    assert d.number_of_items() == 3
+    # one item seen twice, one once, one three times
+    assert d.frequency_distribution() == {2: 1, 1: 1, 3: 1}
+    bars = d.popularity_distribution(np.array([5.0, 1.0, 2.0, 3.0, 4.0]), n_bins=5)
+    assert bars.sum() == 6  # every occurrence lands in exactly one bucket
+    assert bars[0] == 2  # item 1 is the least popular -> first decile
