@@ -106,7 +106,8 @@ def measure_end_to_end(model, steps: int) -> float:
         )
     handler = DataHandler(cache + "/")
     model.set_dataset(handler)
-    K = 32  # steps per dispatch: amortize the remote-dispatch overhead
+    K = 256  # steps per dispatch: amortize the remote-dispatch overhead
+    # (index-wire payloads are 2 x int32[K,B], so large K is cheap)
     # the real training-loop pipeline: packed batch assembly, K-step
     # stacking and the host->device transfer all happen in the prefetch
     # thread; the timed loop only enqueues device steps.
@@ -149,9 +150,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--steps", type=int, default=2048)
     args = ap.parse_args()
-    steps = 40 if args.quick else args.steps
+    steps = 256 if args.quick else args.steps
 
     # main measurement on the default device (TPU under the driver):
     # the full training loop (host packed batching + async device steps)

@@ -255,6 +255,25 @@ class RNNBase:
 
         self._train_multi = jax.jit(train_multi, donate_argnums=(0, 1))
 
+        def train_multi_idx(params, opt_state, store, idx):
+            """Index-wire variant of ``train_multi``: the scan body first
+            assembles each batch on device from the resident store."""
+
+            def body(carry, ib):
+                params, opt_state = carry
+                batch = self._expand_index_wire(ib, store)
+                cost, grads = jax.value_and_grad(self._loss)(params, batch)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = jax.tree_util.tree_map(
+                    lambda p, u: p + u, params, updates
+                )
+                return (params, opt_state), cost
+
+            (params, opt_state), costs = jax.lax.scan(body, (params, opt_state), idx)
+            return params, opt_state, costs.sum()
+
+        self._train_multi_idx = jax.jit(train_multi_idx, donate_argnums=(0, 1))
+
         def score_fn(params, ids, id_mask, mask):
             return self._scores(params, ids, id_mask, mask)
 
@@ -331,10 +350,17 @@ class RNNBase:
 
     def train_function_stacked(self, payload) -> "jax.Array":
         """Like ``train_function_multi`` but takes an already-stacked
-        (and usually already device-resident) K-step payload."""
-        self.params, self.opt_state, cost_sum = self._train_multi(
-            self.params, self.opt_state, payload
-        )
+        (and usually already device-resident) K-step payload. Index-wire
+        payloads (``rows``/``cuts`` only) assemble their batches on
+        device from the resident store."""
+        if "rows" in payload:
+            self.params, self.opt_state, cost_sum = self._train_multi_idx(
+                self.params, self.opt_state, self._dev_store, payload
+            )
+        else:
+            self.params, self.opt_state, cost_sum = self._train_multi(
+                self.params, self.opt_state, payload
+            )
         return cost_sum
 
     def _gen_dispatch_payloads(self, batch_gen, K: int):
@@ -368,16 +394,35 @@ class RNNBase:
         Assembly, transfer and device compute of consecutive payloads
         all run concurrently; either stage alone would serialize the
         other behind it (the transfer's host-side cost is comparable to
-        the assembly cost at deployment batch sizes)."""
+        the assembly cost at deployment batch sizes).
+
+        When the model supports the index wire, both stages collapse to
+        near-nothing: assembly is just the cut sampler and the transfer
+        is two int32[K, B] arrays (the store lives in HBM)."""
         import jax
 
-        host = self._prefetch(
-            self._gen_packed_mini_batch(training_set, rng, n_stack=K),
-            depth=depth,
-        )
-        return self._prefetch(
-            (jax.device_put(p) for p in host), depth=depth
-        )
+        if self._index_batching_ok():
+            self._dev_store = self._upload_index_store(training_set)
+            host = self._prefetch(
+                self._gen_index_mini_batch(training_set, rng, n_stack=K),
+                depth=depth,
+            )
+        else:
+            host = self._prefetch(
+                self._gen_packed_mini_batch(training_set, rng, n_stack=K),
+                depth=depth,
+            )
+
+        def transfer(upstream):
+            # explicit generator (not a genexp) so closing this stage
+            # deterministically closes the upstream prefetch too
+            try:
+                for p in upstream:
+                    yield jax.device_put(p)
+            finally:
+                upstream.close()
+
+        return self._prefetch(transfer(host), depth=depth)
 
     def train_function(self, batch):
         """One optimizer step; returns the batch cost WITHOUT syncing.
@@ -445,28 +490,17 @@ class RNNBase:
             and np.isfinite(self.max_length)
         )
 
-    def _gen_packed_mini_batch(self, training_set, rng=None, n_stack=0):
-        """Vectorized equivalent of ``_gen_mini_batch``: same multi-cut
-        sampling per sequence (rnn_base.py:396-415), but batches are
-        assembled with numpy slice copies from the packed SequenceStore
-        instead of per-item Python featurization (~20x the generator
-        throughput — needed to keep the TPU step fed).
-
-        With ``n_stack=K`` the generator assembles K batches in ONE numpy
-        pass (a [K*B] super-batch) and yields a dict of [K, B, ...]
-        arrays ready for the fused K-step dispatch — amortizing the
-        fixed per-numpy-op cost that dominates at small B. A sequence's
-        cuts may then span adjacent sub-batches; the per-cut sampling
-        distribution (multiple random cuts per drawn sequence, batch
-        filled in draw order) is unchanged."""
+    def _gen_cut_indices(self, training_set, rng, B: int):
+        """Shared cut sampler: same multi-cut sampling per sequence as
+        the reference (rnn_base.py:396-415) — multiple random cuts per
+        drawn sequence, batch filled in draw order. Yields
+        ``(sel_rows, sel_cuts)`` int64[B] buffers (REUSED across yields;
+        consumers must copy before advancing the generator)."""
         store = training_set.store
         lengths = store.lengths
-        offsets = store.offsets
         eligible = np.where(lengths >= 3)[0]
         if len(eligible) == 0:
             raise ValueError("no trainable sequences (all shorter than 3)")
-        B, L, F = self.batch_size * max(1, n_stack), self.max_length, self.n_feature_slots
-        rng = rng if rng is not None else self.rng
         order = eligible.copy()
         pos = len(order)
         epoch = -1
@@ -496,7 +530,27 @@ class RNNBase:
                     )
                 sel_rows[j : j + n] = r
                 j += n
+            yield sel_rows, sel_cuts
 
+    def _gen_packed_mini_batch(self, training_set, rng=None, n_stack=0):
+        """Vectorized equivalent of ``_gen_mini_batch``: same multi-cut
+        sampling per sequence (rnn_base.py:396-415), but batches are
+        assembled with numpy slice copies from the packed SequenceStore
+        instead of per-item Python featurization (~20x the generator
+        throughput — needed to keep the TPU step fed).
+
+        With ``n_stack=K`` the generator assembles K batches in ONE numpy
+        pass (a [K*B] super-batch) and yields a dict of [K, B, ...]
+        arrays ready for the fused K-step dispatch — amortizing the
+        fixed per-numpy-op cost that dominates at small B. A sequence's
+        cuts may then span adjacent sub-batches; the per-cut sampling
+        distribution (multiple random cuts per drawn sequence, batch
+        filled in draw order) is unchanged."""
+        store = training_set.store
+        offsets = store.offsets
+        B, L, F = self.batch_size * max(1, n_stack), self.max_length, self.n_feature_slots
+        rng = rng if rng is not None else self.rng
+        for sel_rows, sel_cuts in self._gen_cut_indices(training_set, rng, B):
             # vectorized assembly: one fancy gather over the flat store
             offs = offsets[sel_rows]
             starts = np.maximum(0, sel_cuts - L)
@@ -527,6 +581,95 @@ class RNNBase:
             if n_stack:
                 batch = self._restack_wire(batch, n_stack)
             yield batch
+
+    # ------------------------------------------------------------------
+    # index-wire fast path: device-resident dataset, index-only payloads
+    # ------------------------------------------------------------------
+    # The packed SequenceStore is uploaded to HBM ONCE per training run;
+    # each dispatch then ships only the sampled (row, cut) index pairs
+    # (2 x int32[K,B] ≈ 9x less than the compact id/length wire) and the
+    # batch — ids, masks, targets, target popularity — is assembled on
+    # device by gathers inside the jitted K-step scan. This removes the
+    # host-side numpy assembly (the e2e throughput cap on small hosts)
+    # and most of the link payload at once. Models opt in with
+    # ``index_wire_ok`` when their whole batch is derivable on device
+    # from (store, rows, cuts) — true for the CCE family; sampled /
+    # margin / cluster losses need host-side RNG fields and keep the
+    # compact wire.
+    index_wire_ok = False
+
+    def _index_batching_ok(self) -> bool:
+        return self.index_wire_ok and self._fast_batching_ok()
+
+    def _make_pop_db(self) -> np.ndarray:
+        """Per-item popularity^diversity_bias table for on-device
+        target_pop lookup; the base batch layout uses ones."""
+        return np.ones(self.n_items, dtype=np.float32)
+
+    def _upload_index_store(self, training_set) -> dict:
+        import jax
+
+        store = training_set.store
+        if store.offsets[-1] >= np.iinfo(np.int32).max:
+            raise ValueError("dataset too large for int32 index wire")
+        dev = {
+            "items": store.items.astype(np.int32),
+            "offsets": store.offsets.astype(np.int32),
+            "pop_db": np.asarray(self._make_pop_db(), dtype=np.float32),
+        }
+        if self.n_feature_slots > 1:
+            dev["rating_buckets"] = np.clip(
+                np.round(store.ratings * 2) - 1, 0, 9
+            ).astype(np.int32)
+        return jax.device_put(dev)
+
+    def _gen_index_mini_batch(self, training_set, rng=None, n_stack=0):
+        """Index-only twin of ``_gen_packed_mini_batch``: same cut
+        sampler (so the training distribution is identical), but yields
+        just ``{"rows", "cuts"}`` int32 arrays ([K, B] with n_stack)."""
+        B = self.batch_size * max(1, n_stack)
+        rng = rng if rng is not None else self.rng
+        for sel_rows, sel_cuts in self._gen_cut_indices(training_set, rng, B):
+            rows = sel_rows.astype(np.int32)  # astype copies the buffer
+            cuts = sel_cuts.astype(np.int32)
+            if n_stack:
+                rows = rows.reshape(n_stack, self.batch_size)
+                cuts = cuts.reshape(n_stack, self.batch_size)
+            yield {"rows": rows, "cuts": cuts}
+
+    def _expand_index_wire(self, batch: dict, store: dict) -> dict:
+        """Assemble a training batch on device from (rows, cuts) and the
+        device-resident store; traced twin of the numpy assembly in
+        ``_gen_packed_mini_batch`` + ``_finalize_packed_batch``."""
+        rows, cuts = batch["rows"], batch["cuts"]
+        L = int(self.max_length)
+        offs = store["offsets"][rows]
+        starts = jnp.maximum(0, cuts - L)
+        m = cuts - starts
+        t = jnp.arange(L, dtype=jnp.int32)
+        valid = t[None, :] < m[:, None]
+        flat = jnp.where(valid, offs[:, None] + starts[:, None] + t[None, :], 0)
+        item_ids = jnp.where(valid, store["items"][flat], 0)
+        if self.n_feature_slots > 1:
+            rating_ids = jnp.where(
+                valid, self.n_items + store["rating_buckets"][flat], 0
+            )
+            ids = jnp.stack([item_ids, rating_ids], axis=-1)
+        else:
+            ids = item_ids[..., None]
+        mask = valid.astype(jnp.float32)
+        targets = store["items"][offs + cuts]
+        out = {
+            "ids": ids,
+            "mask": mask,
+            "targets": targets,
+            "target_pop": store["pop_db"][targets],
+        }
+        if self.n_feature_slots > 1:
+            out["id_mask"] = jnp.broadcast_to(
+                mask[..., None], ids.shape
+            ).astype(jnp.float32)
+        return out
 
     def _restack_wire(self, batch: dict, n_stack: int) -> dict:
         """Reshape a [K*B]-row super-batch into the [K, B, ...] layout
@@ -618,6 +761,16 @@ class RNNBase:
                     if stop.is_set():
                         return
             finally:
+                # cascade closure upstream: prefetch stages nest
+                # (assembly -> transfer), and abandoning the upstream
+                # generator would leave ITS producer thread blocked in
+                # q.put past interpreter shutdown (C++-level abort). The
+                # generator is suspended here (this thread iterates it),
+                # so close() is safe and propagates stage by stage.
+                try:
+                    generator.close()
+                except Exception:
+                    pass
                 while not stop.is_set():
                     try:
                         q.put(sentinel, timeout=0.2)

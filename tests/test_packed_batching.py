@@ -247,3 +247,93 @@ def test_topk_wire_matches_dense_path(synthetic_handler):
         m._topk_wire_jit(m.params, ids.astype(np.int16), lengths, 5)
     )
     np.testing.assert_array_equal(dense, wire)
+
+
+def test_index_wire_matches_packed_batcher(synthetic_handler):
+    """The index-only wire (rows/cuts + device store) must expand on
+    device to exactly the batch the packed numpy assembly produces for
+    the same RNG stream."""
+    import jax
+
+    m = _model(synthetic_handler)
+    assert m._index_batching_ok()
+    m.params = m._init_params()
+    m._build_functions()
+    store = m._upload_index_store(synthetic_handler.training_set)
+
+    packed_gen = m._gen_packed_mini_batch(
+        synthetic_handler.training_set, np.random.default_rng(9)
+    )
+    index_gen = m._gen_index_mini_batch(
+        synthetic_handler.training_set, np.random.default_rng(9)
+    )
+    expand_idx = jax.jit(lambda b: m._expand_index_wire(b, store))
+    expand_packed = jax.jit(m._expand_wire)
+    for _ in range(4):
+        ref = jax.device_get(expand_packed(next(packed_gen)))
+        got = jax.device_get(expand_idx(next(index_gen)))
+        np.testing.assert_array_equal(got["ids"], ref["ids"])
+        np.testing.assert_array_equal(got["mask"], ref["mask"])
+        np.testing.assert_array_equal(got["targets"], ref["targets"])
+        np.testing.assert_allclose(got["target_pop"], ref["target_pop"])
+
+
+def test_index_wire_training_matches_compact_wire(synthetic_handler):
+    """A fused K-step dispatch over the index wire reaches the same
+    parameters as the compact-wire dispatch on the same batches."""
+    import jax
+
+    def make(seed):
+        m = _model(synthetic_handler, seed=seed)
+        m.params = m._init_params()
+        m._build_functions()
+        m.opt_state = m._opt.init(m.params)
+        return m
+
+    K = 3
+    a, b = make(5), make(5)
+    a._dev_store = a._upload_index_store(synthetic_handler.training_set)
+
+    gen_idx = a._gen_index_mini_batch(
+        synthetic_handler.training_set, np.random.default_rng(21), n_stack=K
+    )
+    gen_packed = b._gen_packed_mini_batch(
+        synthetic_handler.training_set, np.random.default_rng(21), n_stack=K
+    )
+    cost_a = a.train_function_stacked(jax.device_put(next(gen_idx)))
+    cost_b = b.train_function_stacked(jax.device_put(next(gen_packed)))
+    np.testing.assert_allclose(float(cost_a), float(cost_b), rtol=1e-5)
+    for (ka, va), (kb, vb) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(a.params), key=lambda kv: str(kv[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(b.params), key=lambda kv: str(kv[0])),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), rtol=1e-5, atol=1e-6,
+            err_msg=str(ka),
+        )
+
+
+def test_index_wire_diversity_bias_pop_table(synthetic_handler):
+    """target_pop via the on-device pop^db table matches the packed
+    path's host-side popularity lookup when diversity bias is on."""
+    import jax
+
+    m = _model(synthetic_handler, seed=2)
+    m.diversity_bias = 0.7
+    m.params = m._init_params()
+    m._build_functions()
+    store = m._upload_index_store(synthetic_handler.training_set)
+    packed = next(
+        m._gen_packed_mini_batch(
+            synthetic_handler.training_set, np.random.default_rng(4)
+        )
+    )
+    idx = next(
+        m._gen_index_mini_batch(
+            synthetic_handler.training_set, np.random.default_rng(4)
+        )
+    )
+    got = jax.device_get(m._expand_index_wire(jax.device_put(idx), store))
+    np.testing.assert_allclose(
+        got["target_pop"], packed["target_pop"], rtol=1e-6
+    )
