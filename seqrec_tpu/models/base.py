@@ -196,6 +196,7 @@ class RNNBase:
     def set_dataset(self, dataset) -> None:
         self.dataset = dataset
         self.target_selection.set_dataset(dataset)
+        self._val_cache = None
 
     def _out_matmul(self, h, w_out, b_out):
         """Catalog-sized output matmul in the compute dtype (f32 accum)."""
@@ -851,10 +852,14 @@ class RNNBase:
         the pipeline hides (n_chunks - 1) of them. Inputs travel as the
         compact wire format (ids + prefix lengths; masks and the
         seen-item set are rebuilt on device)."""
+        return self._topk_from_staged(self._stage_eval_inputs(inputs), k)
+
+    def _stage_eval_inputs(self, inputs) -> list:
+        """Encode + start the host->device upload of eval input chunks;
+        returns [(n_real_rows, (ids_dev, lengths_dev)), ...]."""
         import jax
 
         chunk = self.eval_batch_size
-        params = self._device_params()
         staged = []
         for c0 in range(0, len(inputs), chunk):
             batch = inputs[c0 : c0 + chunk]
@@ -866,6 +871,10 @@ class RNNBase:
                 ids = ids.astype(np.int16)
             # async upload: all chunk transfers start before any dispatch
             staged.append((len(batch), jax.device_put((ids, lengths))))
+        return staged
+
+    def _topk_from_staged(self, staged, k: int) -> np.ndarray:
+        params = self._device_params()
         pending = [
             (n, self._topk_wire_jit(params, ids_d, len_d, k))
             for n, (ids_d, len_d) in staged
@@ -876,10 +885,26 @@ class RNNBase:
 
     def _compute_validation_metrics(self, metrics):
         ev = evaluation.Evaluator(self.dataset, k=10)
-        instances = list(self._iter_test_instances(self.dataset.validation_set(epochs=1)))
+        # the validation inputs are identical at every checkpoint (the
+        # generator is unshuffled and the half-split is deterministic),
+        # so encode + upload them ONCE and reuse the device-resident
+        # chunks; skip the cache when --rand_test_target randomizes goals
+        cacheable = self.target_selection.determinist_test
+        if not cacheable or getattr(self, "_val_cache", None) is None:
+            instances = list(
+                self._iter_test_instances(self.dataset.validation_set(epochs=1))
+            )
+            staged = (
+                self._stage_eval_inputs([seq for seq, _, _ in instances])
+                if instances
+                else []
+            )
+            if cacheable:
+                self._val_cache = (instances, staged)
+        else:
+            instances, staged = self._val_cache
         if instances:
-            inputs = [seq for seq, _, _ in instances]
-            recs = self._batched_recommendations(inputs, k=10)
+            recs = self._topk_from_staged(staged, k=10)
             for (_, goal, _), rec in zip(instances, recs):
                 ev.add_instance(goal, rec.tolist())
         metrics["recall"].append(ev.average_recall())

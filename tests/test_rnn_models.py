@@ -320,3 +320,38 @@ def test_optimizer_state_checkpointing(synthetic_handler, tmp_path):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_validation_cache_reuses_staged_inputs(synthetic_handler):
+    """Validation inputs are deterministic across checkpoints, so the
+    encoded + uploaded chunks are cached; cached calls must return the
+    same metrics as the first (fresh) pass."""
+    from seqrec_tpu.models.recurrent import RecurrentLayers
+    from seqrec_tpu.models.rnn_one_hot import RNNOneHot
+    from seqrec_tpu.models.updates import Adam
+
+    m = RNNOneHot(
+        recurrent_layer=RecurrentLayers("GRU", [8]),
+        updater=Adam(0.01),
+        max_length=10,
+        batch_size=8,
+        seed=0,
+    )
+    m.prepare_model(synthetic_handler)
+    m.set_dataset(synthetic_handler)
+    m.params = m._init_params()
+    m._build_functions()
+
+    metrics = {k: [] for k in m.metrics}
+    m._compute_validation_metrics(metrics)
+    assert m._val_cache is not None
+    staged_first = m._val_cache[1]
+    m._compute_validation_metrics(metrics)
+    assert m._val_cache[1] is staged_first  # reused, not re-uploaded
+    for vals in metrics.values():
+        assert vals[0] == vals[1]
+
+    # --rand_test_target randomizes goals: the cache must stay off
+    m.target_selection.determinist_test = False
+    m._compute_validation_metrics(metrics)
+    assert m._val_cache[1] is staged_first  # cache untouched, not refreshed
