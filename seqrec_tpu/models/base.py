@@ -604,8 +604,18 @@ class RNNBase:
 
     def _make_pop_db(self) -> np.ndarray:
         """Per-item popularity^diversity_bias table for on-device
-        target_pop lookup; the base batch layout uses ones."""
-        return np.ones(self.n_items, dtype=np.float32)
+        target_pop lookup (pop^0 = ones for models without the bias)."""
+        db = getattr(self, "diversity_bias", 0.0)
+        return np.asarray(
+            self.dataset.item_popularity[: self.n_items], dtype=np.float32
+        ) ** db
+
+    def _index_payload_extras(self, k: int) -> dict:
+        """Model hook: host-side fields to ship alongside the (rows,
+        cuts) indices, stacked on the leading K axis (e.g. the sampled
+        losses' per-step negative-sample sets, which must keep their
+        host RNG draw order)."""
+        return {}
 
     def _upload_index_store(self, training_set) -> dict:
         import jax
@@ -636,7 +646,11 @@ class RNNBase:
             if n_stack:
                 rows = rows.reshape(n_stack, self.batch_size)
                 cuts = cuts.reshape(n_stack, self.batch_size)
-            yield {"rows": rows, "cuts": cuts}
+            yield {
+                "rows": rows,
+                "cuts": cuts,
+                **self._index_payload_extras(max(1, n_stack)),
+            }
 
     def _expand_index_wire(self, batch: dict, store: dict) -> dict:
         """Assemble a training batch on device from (rows, cuts) and the
@@ -670,6 +684,9 @@ class RNNBase:
             out["id_mask"] = jnp.broadcast_to(
                 mask[..., None], ids.shape
             ).astype(jnp.float32)
+        for key, v in batch.items():
+            if key not in ("rows", "cuts"):
+                out[key] = v  # extras (e.g. negative samples) pass through
         return out
 
     def _restack_wire(self, batch: dict, n_stack: int) -> dict:

@@ -86,13 +86,8 @@ class RNNOneHot(RNNBase):
         return packed
 
     # the whole CCE batch is derivable on device from (store, rows,
-    # cuts): target_pop is a per-item table lookup
+    # cuts): target_pop is a per-item table lookup (base _make_pop_db)
     index_wire_ok = True
-
-    def _make_pop_db(self):
-        return np.asarray(
-            self.dataset.item_popularity[: self.n_items], dtype=np.float32
-        ) ** self.diversity_bias
 
     # softmax head: ranking raw logits == ranking _scores, so the fused
     # Pallas scoring+mask+top-k kernel applies (see RNNBase._fused_topk)

@@ -134,6 +134,14 @@ class RNNSampling(RNNBase):
         )
         return out
 
+    # index wire: the batch derives on device from (store, rows, cuts)
+    # plus the host-drawn negative-sample sets shipped as an extra
+    index_wire_ok = True
+
+    def _index_payload_extras(self, k):
+        samples = np.stack([self._draw_samples() for _ in range(k)])
+        return {"samples": samples if k > 1 else samples[0]}
+
     def _prepare_input(self, sequences):
         ids, id_mask, mask = self._encode_sequences([s[1] for s in sequences])
         targets = np.array([s[2][0][0] for s in sequences], dtype=np.int32)

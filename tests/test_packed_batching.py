@@ -337,3 +337,52 @@ def test_index_wire_diversity_bias_pop_table(synthetic_handler):
     np.testing.assert_allclose(
         got["target_pop"], packed["target_pop"], rtol=1e-6
     )
+
+
+def test_sampling_index_wire_matches_compact_wire(synthetic_handler):
+    """RNNSampling's index wire (device assembly + host-drawn negative
+    samples) must reproduce the compact-wire dispatch exactly, including
+    the negative-sample RNG draw order."""
+    import jax
+    from seqrec_tpu.models.rnn_sampling import RNNSampling
+    from seqrec_tpu.models.updates import Adam
+
+    def make(seed):
+        m = RNNSampling(
+            loss_function="BPR",
+            sampling=12,
+            recurrent_layer=RecurrentLayers("GRU", [8]),
+            updater=Adam(0.01),
+            max_length=10,
+            batch_size=16,
+            seed=seed,
+        )
+        m.prepare_model(synthetic_handler)
+        m.set_dataset(synthetic_handler)
+        m.params = m._init_params()
+        m._build_functions()
+        m.opt_state = m._opt.init(m.params)
+        return m
+
+    K = 3
+    a, b = make(7), make(7)
+    assert a._index_batching_ok()
+    a._dev_store = a._upload_index_store(synthetic_handler.training_set)
+
+    gen_idx = a._gen_index_mini_batch(
+        synthetic_handler.training_set, np.random.default_rng(13), n_stack=K
+    )
+    gen_packed = b._gen_packed_mini_batch(
+        synthetic_handler.training_set, np.random.default_rng(13), n_stack=K
+    )
+    cost_a = a.train_function_stacked(jax.device_put(next(gen_idx)))
+    cost_b = b.train_function_stacked(jax.device_put(next(gen_packed)))
+    np.testing.assert_allclose(float(cost_a), float(cost_b), rtol=1e-5)
+    import jax.tree_util as jtu
+    for (ka, va), (kb, vb) in zip(
+        sorted(jtu.tree_leaves_with_path(a.params), key=lambda kv: str(kv[0])),
+        sorted(jtu.tree_leaves_with_path(b.params), key=lambda kv: str(kv[0])),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), rtol=1e-5, atol=1e-6, err_msg=str(ka)
+        )
