@@ -303,6 +303,36 @@ class RNNCluster(RNNBase):
         out["noise_seed"] = np.asarray(seeds, dtype=np.int32)
         return out
 
+    # index wire: sample sets / noise seeds / the temperature scale stay
+    # host-side (same RNG + schedule call order as the packed path) and
+    # ship as per-step extras; sequence fields assemble on device.
+    # FISMCluster stays ineligible via its max_length=inf.
+    index_wire_ok = True
+
+    def _index_payload_extras(self, k):
+        samples, cluster_samples, seeds = [], [], []
+        for _ in range(k):
+            s, cs = self._draw_sample_sets()
+            self._noise_seed += 1
+            samples.append(s)
+            cluster_samples.append(cs)
+            seeds.append(np.int32(self._noise_seed))
+        self._update_scale()
+        scale = np.float32(self.effective_scale)
+        if k == 1:
+            return {
+                "samples": samples[0],
+                "cluster_samples": cluster_samples[0],
+                "scale": scale,
+                "noise_seed": seeds[0],
+            }
+        return {
+            "samples": np.stack(samples),
+            "cluster_samples": np.stack(cluster_samples),
+            "scale": np.broadcast_to(scale, (k,)).copy(),
+            "noise_seed": np.asarray(seeds, dtype=np.int32),
+        }
+
     def _prepare_input(self, sequences):
         ids, id_mask, mask = self._encode_sequences([s[1] for s in sequences])
         targets = np.array([s[2][0][0] for s in sequences], dtype=np.int32)

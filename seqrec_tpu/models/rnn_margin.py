@@ -140,6 +140,23 @@ class RNNMargin(RNNBase):
         del packed["targets"]
         return packed
 
+    # index wire: every margin batch field (single-target ids, counts,
+    # seen-item sets) derives on device from (store, rows, cuts)
+    index_wire_ok = True
+
+    def _expand_index_wire(self, batch, store):
+        import jax.numpy as jnp
+
+        out = super()._expand_index_wire(batch, store)
+        B = out["targets"].shape[0]
+        out["target_ids"] = out["targets"].reshape(B, 1)
+        out["t_count"] = jnp.ones(B, jnp.float32)
+        out["seen_ids"] = jnp.where(
+            out["mask"] > 0, out["ids"][:, :, 0], self.n_items
+        ).astype(jnp.int32)
+        del out["targets"], out["target_pop"]
+        return out
+
     # ------------------------------------------------------------------
     def _prepare_input(self, sequences):
         ids, id_mask, mask = self._encode_sequences([s[1] for s in sequences])

@@ -386,3 +386,110 @@ def test_sampling_index_wire_matches_compact_wire(synthetic_handler):
         np.testing.assert_allclose(
             np.asarray(va), np.asarray(vb), rtol=1e-5, atol=1e-6, err_msg=str(ka)
         )
+
+
+def test_margin_index_wire_matches_compact_wire(synthetic_handler):
+    import jax
+    import jax.tree_util as jtu
+    from seqrec_tpu.models.rnn_margin import RNNMargin
+    from seqrec_tpu.models.updates import Adam
+
+    def make():
+        m = RNNMargin(
+            loss_function="hinge",
+            recurrent_layer=RecurrentLayers("GRU", [8]),
+            updater=Adam(0.01),
+            max_length=10,
+            batch_size=16,
+            seed=3,
+        )
+        m.prepare_model(synthetic_handler)
+        m.set_dataset(synthetic_handler)
+        m.params = m._init_params()
+        m._build_functions()
+        m.opt_state = m._opt.init(m.params)
+        return m
+
+    K = 3
+    a, b = make(), make()
+    assert a._index_batching_ok()
+    a._dev_store = a._upload_index_store(synthetic_handler.training_set)
+    gen_idx = a._gen_index_mini_batch(
+        synthetic_handler.training_set, np.random.default_rng(31), n_stack=K
+    )
+    gen_packed = b._gen_packed_mini_batch(
+        synthetic_handler.training_set, np.random.default_rng(31), n_stack=K
+    )
+    cost_a = a.train_function_stacked(jax.device_put(next(gen_idx)))
+    cost_b = b.train_function_stacked(jax.device_put(next(gen_packed)))
+    np.testing.assert_allclose(float(cost_a), float(cost_b), rtol=1e-5)
+    for (ka, va), (_, vb) in zip(
+        sorted(jtu.tree_leaves_with_path(a.params), key=lambda kv: str(kv[0])),
+        sorted(jtu.tree_leaves_with_path(b.params), key=lambda kv: str(kv[0])),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), rtol=1e-5, atol=1e-6, err_msg=str(ka)
+        )
+
+
+def test_cluster_index_wire_matches_compact_wire(synthetic_handler):
+    import jax
+    import jax.tree_util as jtu
+    from seqrec_tpu.models.cluster import RNNCluster
+    from seqrec_tpu.models.updates import Adam
+
+    def make():
+        m = RNNCluster(
+            n_clusters=4,
+            loss="Blackout",
+            sampling=16,
+            recurrent_layer=RecurrentLayers("GRU", [8]),
+            updater=Adam(0.01),
+            max_length=10,
+            batch_size=16,
+            seed=5,
+        )
+        m.prepare_model(synthetic_handler)
+        m.set_dataset(synthetic_handler)
+        m.params = m._init_params()
+        m._build_functions()
+        m.opt_state = m._opt.init(m.params)
+        return m
+
+    K = 3
+    a, b = make(), make()
+    assert a._index_batching_ok()
+    a._dev_store = a._upload_index_store(synthetic_handler.training_set)
+    gen_idx = a._gen_index_mini_batch(
+        synthetic_handler.training_set, np.random.default_rng(41), n_stack=K
+    )
+    gen_packed = b._gen_packed_mini_batch(
+        synthetic_handler.training_set, np.random.default_rng(41), n_stack=K
+    )
+    cost_a = a.train_function_stacked(jax.device_put(next(gen_idx)))
+    cost_b = b.train_function_stacked(jax.device_put(next(gen_packed)))
+    np.testing.assert_allclose(float(cost_a), float(cost_b), rtol=1e-5)
+    for (ka, va), (_, vb) in zip(
+        sorted(jtu.tree_leaves_with_path(a.params), key=lambda kv: str(kv[0])),
+        sorted(jtu.tree_leaves_with_path(b.params), key=lambda kv: str(kv[0])),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), rtol=1e-5, atol=1e-6, err_msg=str(ka)
+        )
+
+
+def test_fism_cluster_stays_off_index_wire(synthetic_handler):
+    from seqrec_tpu.models.cluster import FISMCluster
+    from seqrec_tpu.models.updates import Adam
+
+    m = FISMCluster(
+        n_clusters=4,
+        sampling=16,
+        updater=Adam(0.01),
+        batch_size=8,
+        seed=0,
+    )
+    m.prepare_model(synthetic_handler)
+    m.set_dataset(synthetic_handler)
+    # bag-of-items input + max_length=inf: must not take the index wire
+    assert not m._index_batching_ok()
