@@ -617,22 +617,29 @@ class RNNBase:
         host RNG draw order)."""
         return {}
 
-    def _upload_index_store(self, training_set) -> dict:
-        import jax
-
+    def _build_index_store(self, training_set) -> dict:
+        """Host-side arrays of the device-resident store."""
         store = training_set.store
         if store.offsets[-1] >= np.iinfo(np.int32).max:
             raise ValueError("dataset too large for int32 index wire")
-        dev = {
+        host = {
             "items": store.items.astype(np.int32),
             "offsets": store.offsets.astype(np.int32),
             "pop_db": np.asarray(self._make_pop_db(), dtype=np.float32),
         }
         if self.n_feature_slots > 1:
-            dev["rating_buckets"] = np.clip(
+            host["rating_buckets"] = np.clip(
                 np.round(store.ratings * 2) - 1, 0, 9
             ).astype(np.int32)
-        return jax.device_put(dev)
+        return host
+
+    def _upload_index_store(self, training_set, sharding=None) -> dict:
+        import jax
+
+        host = self._build_index_store(training_set)
+        if sharding is not None:
+            return jax.device_put(host, sharding)
+        return jax.device_put(host)
 
     def _gen_index_mini_batch(self, training_set, rng=None, n_stack=0):
         """Index-only twin of ``_gen_packed_mini_batch``: same cut

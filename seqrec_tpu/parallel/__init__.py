@@ -1,15 +1,19 @@
 from seqrec_tpu.parallel.mesh import (
     batch_sharding,
+    index_payload_sharding,
     make_mesh,
     param_sharding,
     shard_batch,
     shard_params,
+    store_sharding,
 )
 
 __all__ = [
     "make_mesh",
     "param_sharding",
     "batch_sharding",
+    "index_payload_sharding",
+    "store_sharding",
     "shard_params",
     "shard_batch",
 ]

@@ -107,6 +107,28 @@ def batch_sharding(batch: dict, mesh: Mesh):
     return out
 
 
+def store_sharding(store: dict, mesh: Mesh):
+    """The device-resident sequence store replicates across the mesh
+    (it is a few MB and every data shard gathers its own rows)."""
+    return {k: NamedSharding(mesh, P()) for k in store}
+
+
+def index_payload_sharding(payload: dict, mesh: Mesh, stacked: bool = True):
+    """Index-wire payloads: (rows, cuts) shard over "data" on the batch
+    axis (axis 1 for stacked [K, B] payloads); per-step extras — sample
+    sets, scales, noise seeds — replicate."""
+    axis = 1 if stacked else 0
+    out = {}
+    for k, v in payload.items():
+        if k in ("rows", "cuts"):
+            spec = [None] * np.ndim(v)
+            spec[axis] = "data"
+            out[k] = NamedSharding(mesh, P(*spec))
+        else:
+            out[k] = NamedSharding(mesh, P())
+    return out
+
+
 def shard_params(params, mesh: Mesh):
     return jax.device_put(params, param_sharding(params, mesh))
 

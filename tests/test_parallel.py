@@ -123,3 +123,45 @@ def test_sharded_topk_matches_dense(devices):
         np.testing.assert_allclose(
             scores[i, sharded[i]], scores[i, dense[i]], rtol=1e-5
         )
+
+
+def test_sharded_index_wire_matches_single_device(synthetic_handler, devices):
+    """The fused index-wire dispatch under GSPMD (replicated store,
+    data-sharded rows/cuts) must match the single-device dispatch."""
+    from seqrec_tpu.parallel import index_payload_sharding, store_sharding
+
+    mesh = make_mesh(n_data=2, n_model=4, devices=devices)
+    K = 2
+
+    a = _make_model(synthetic_handler, seed=0)
+    b = _make_model(synthetic_handler, seed=0)
+
+    payload = next(
+        a._gen_index_mini_batch(
+            synthetic_handler.training_set, np.random.default_rng(3), n_stack=K
+        )
+    )
+
+    # single device
+    b._dev_store = b._upload_index_store(synthetic_handler.training_set)
+    cost_b = b.train_function_stacked(jax.device_put(payload))
+
+    # sharded
+    a._dev_store = a._upload_index_store(
+        synthetic_handler.training_set,
+        sharding=store_sharding(
+            a._build_index_store(synthetic_handler.training_set), mesh
+        ),
+    )
+    a.params = shard_params(a.params, mesh)
+    a.opt_state = a._opt.init(a.params)
+    payload_s = jax.device_put(payload, index_payload_sharding(payload, mesh))
+    cost_a = a.train_function_stacked(payload_s)
+
+    np.testing.assert_allclose(float(cost_a), float(cost_b), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(a.params["W_out"]),
+        np.asarray(b.params["W_out"]),
+        rtol=1e-4,
+        atol=1e-6,
+    )
