@@ -62,12 +62,27 @@ def run_tests(predictor, model_file, dataset, args, get_full_recommendation_list
     # falls back to the reference's per-user loop otherwise.
     batched = hasattr(predictor, "_iter_test_instances") and args.clusters <= 0
     if batched:
-        instances = list(
-            predictor._iter_test_instances(dataset.test_set(epochs=1))
+        # the test inputs are identical for every model file in the
+        # epoch glob: encode + upload them once and reuse the
+        # device-resident chunks across the whole model loop (only the
+        # parameters change between files). Disabled when
+        # --rand_test_target makes the goals non-deterministic.
+        cacheable = getattr(
+            getattr(predictor, "target_selection", None), "determinist_test", False
         )
-        inputs = [seq for seq, _, _ in instances]
-        if inputs:
-            recs = predictor._batched_recommendations(inputs, k=k)
+        cache = getattr(predictor, "_test_stage_cache", None)
+        if not cacheable or cache is None or cache[0] is not dataset:
+            instances = list(
+                predictor._iter_test_instances(dataset.test_set(epochs=1))
+            )
+            inputs = [seq for seq, _, _ in instances]
+            staged = predictor._stage_eval_inputs(inputs) if inputs else []
+            if cacheable:
+                predictor._test_stage_cache = (dataset, instances, staged)
+        else:
+            _, instances, staged = cache
+        if instances:
+            recs = predictor._topk_from_staged(staged, k=k)
             for (_, goal, _), rec in zip(instances, recs):
                 if len(goal) == 0:
                     raise ValueError
