@@ -21,3 +21,29 @@ and a word2vec-trajectory model — all implemented TPU-first:
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_persistent_compile_cache() -> None:
+    """Point JAX's persistent compilation cache at a local directory so
+    repeat CLI invocations (train.py / test.py sweeps) skip the 20-100s
+    first-compile of the fused train/eval programs. Opt out with
+    SEQREC_NO_COMPILE_CACHE=1 or override via JAX_COMPILATION_CACHE_DIR."""
+    import os
+
+    if os.environ.get("SEQREC_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+            os.path.expanduser("~"), ".cache", "seqrec_tpu", "xla"
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # cache everything that takes noticeable time, not just >1s programs
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # older jax or read-only home: run without the cache
+
+
+_enable_persistent_compile_cache()
