@@ -60,6 +60,7 @@ class MFBase:
         self.annealing_rate = annealing
         self.init_sigma = init_sigma
         self.max_length = np.inf  # compatibility with the RNN drivers
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.metrics = {
             "recall": {"direction": 1},
@@ -286,6 +287,76 @@ class MFBase:
         np.savez(open(filename, "wb"), **{k: np.asarray(v) for k, v in arrays.items()})
 
     # host-side sampling helpers ----------------------------------------
+    # ------------------------------------------------------------------
+    # on-device sampling (uniform path): the per-user index tables live
+    # in HBM and each dispatch fuses ``chunks_per_dispatch`` sample+SGD
+    # chunks in one scan — the host leaves the hot loop entirely. The
+    # adaptive (Rendle'14) scheme keeps its host implementation (factor
+    # rank tables + exponential-rank draws are recomputed from fresh
+    # device params every n·ln(n) samples, an inherently host-paced
+    # schedule). Device sampling uses JAX PRNG: the sampling
+    # DISTRIBUTION matches the host path; the stream does not.
+    chunks_per_dispatch = 16
+    _NEG_REJECTION_ROUNDS = 8  # all membership-tested in one pass
+
+    def _upload_sample_store(self) -> None:
+        import jax
+
+        sorted_items = self.items.copy()
+        for off, ln in self.users:
+            if ln > 1:
+                sorted_items[off : off + ln].sort()
+        max_len = int(self.users[:, 1].max()) if len(self.users) else 2
+        self._bs_trips = int(np.ceil(np.log2(max(2, max_len)))) + 2
+        self._dev_sample_store = jax.device_put(
+            {
+                "eligible": self._eligible_users.astype(np.int32),
+                "offs": self.users[:, 0].astype(np.int32),
+                "lens": self.users[:, 1].astype(np.int32),
+                "items": self.items.astype(np.int32),
+                "sorted_items": sorted_items.astype(np.int32),
+            }
+        )
+        self._sample_key = jax.random.PRNGKey(self.seed)
+
+    @staticmethod
+    def _device_member(st: dict, cand, u, trips: int):
+        """``cand in user u's history`` on device: lower-bound binary
+        search within each user's sorted segment of the flat item array
+        (the device twin of ``_is_member``)."""
+        offs = st["offs"][u]
+        lens = st["lens"][u]
+        T = st["sorted_items"].shape[0]
+
+        def body(_, lohi):
+            lo, hi = lohi
+            cont = lo < hi
+            mid = (lo + hi) // 2
+            v = st["sorted_items"][jnp.clip(mid, 0, T - 1)]
+            right = v < cand
+            lo2 = jnp.where(right, mid + 1, lo)
+            hi2 = jnp.where(right, hi, mid)
+            return jnp.where(cont, lo2, lo), jnp.where(cont, hi2, hi)
+
+        lo, _ = jax.lax.fori_loop(0, trips, body, (offs, offs + lens))
+        at = st["sorted_items"][jnp.clip(lo, 0, T - 1)]
+        return (lo < offs + lens) & (at == cand)
+
+    def _device_negatives(self, st: dict, key, u, trips: int):
+        """Uniform negatives outside each user's history: draw R rounds
+        of candidates up front, membership-test them all in one pass and
+        keep the first non-member per sample (the device twin of the
+        host rejection loop; residual member probability is
+        density^R)."""
+        R = self._NEG_REJECTION_ROUNDS
+        n = u.shape[0]
+        cands = jax.random.randint(key, (R, n), 0, self.n_items)
+        bad = self._device_member(
+            st, cands.reshape(-1), jnp.tile(u, R), trips
+        ).reshape(R, n)
+        first = jnp.argmin(bad, axis=0)  # first False per column
+        return cands[first, jnp.arange(n)]
+
     def _sample_users(self, n: int) -> np.ndarray:
         return self.rng.choice(self._eligible_users, size=n)
 
@@ -392,11 +463,52 @@ class BPRMF(MFBase):
             false_items = self._uniform_negatives_for_users(users)
         return users, true_items, false_items
 
+    def _build_device_step(self):
+        st = self._dev_sample_store
+        n = self.samples_per_step
+        K = self.chunks_per_dispatch
+        trips = self._bs_trips
+        E = len(self._eligible_users)
+        reg = self.reg
+        sgd = self._sgd_chunk
+
+        def sample(key):
+            k1, k2, k3 = jax.random.split(key, 3)
+            u = st["eligible"][jax.random.randint(k1, (n,), 0, E)]
+            offs, lens = st["offs"][u], st["lens"][u]
+            i = st["items"][offs + jax.random.randint(k2, (n,), 0, lens)]
+            j = self._device_negatives(st, k3, u, trips)
+            return u, i, j
+
+        def multi(V, H, bias, key, lr):
+            def body(carry, k):
+                V, H, bias = carry
+                u, i, j = sample(k)
+                V, H, bias, c = sgd(reg, V, H, bias, u, i, j, lr)
+                return (V, H, bias), c
+
+            (V, H, bias), costs = jax.lax.scan(
+                body, (V, H, bias), jax.random.split(key, K)
+            )
+            return V, H, bias, costs.mean()
+
+        self._multi_step = jax.jit(multi, donate_argnums=(0, 1, 2))
+
     def training_step(self, iterations):
         n = self.samples_per_step
-        if self.adaptive_sampling and (
-            iterations % int(self.n_items * np.log(self.n_items)) < n
-            or not hasattr(self, "ranks")
+        if not self.adaptive_sampling:
+            # uniform sampling runs entirely on device: K fused
+            # (sample + SGD) chunks per dispatch
+            if not hasattr(self, "_multi_step"):
+                self._upload_sample_store()
+                self._build_device_step()
+            self._sample_key, sub = jax.random.split(self._sample_key)
+            self.V, self.H, self.bias, cost = self._multi_step(
+                self.V, self.H, self.bias, sub, np.float32(self.learning_rate)
+            )
+            return cost, n * self.chunks_per_dispatch
+        if iterations % int(self.n_items * np.log(self.n_items)) < n or not hasattr(
+            self, "ranks"
         ):
             self.compute_factor_rankings()
         u, i, j = self._sample_chunk(n)
