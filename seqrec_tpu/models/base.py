@@ -773,6 +773,7 @@ class RNNBase:
         q: "queue.Queue" = queue.Queue(maxsize=depth)
         sentinel = object()
         stop = threading.Event()
+        error: list = []
 
         def producer():
             try:
@@ -785,6 +786,12 @@ class RNNBase:
                             continue
                     if stop.is_set():
                         return
+            except Exception as exc:
+                # forward assembly/transfer errors to the consumer: ending
+                # the stream here would look like normal data exhaustion
+                # and training would return a successful-looking result
+                # after 0 steps
+                error.append(exc)
             finally:
                 # cascade closure upstream: prefetch stages nest
                 # (assembly -> transfer), and abandoning the upstream
@@ -809,6 +816,8 @@ class RNNBase:
             while True:
                 item = q.get()
                 if item is sentinel:
+                    if error:
+                        raise error[0]
                     return
                 yield item
         finally:
@@ -927,10 +936,17 @@ class RNNBase:
                 self._val_cache = (instances, staged)
         else:
             instances, staged = self._val_cache
-        if instances:
-            recs = self._topk_from_staged(staged, k=10)
-            for (_, goal, _), rec in zip(instances, recs):
-                ev.add_instance(goal, rec.tolist())
+        if not instances:
+            # zero validation instances (e.g. --rand_test_target with a
+            # target_bias that filters every user's goals away): record 0s
+            # instead of dividing by len(instances) (cluster.py does the
+            # same for its extra metrics)
+            for name in self.metrics:
+                metrics[name].append(0.0)
+            return metrics
+        recs = self._topk_from_staged(staged, k=10)
+        for (_, goal, _), rec in zip(instances, recs):
+            ev.add_instance(goal, rec.tolist())
         metrics["recall"].append(ev.average_recall())
         metrics["sps"].append(ev.sps())
         metrics["ndcg"].append(ev.average_ndcg())
@@ -1015,13 +1031,14 @@ class RNNBase:
         metrics = {name: [] for name in self.metrics.keys()}
         filename = {}
 
+        # fused multi-step dispatch needs fixed batch shapes, which only
+        # the packed fast batcher guarantees; K is the true number of
+        # optimizer steps per loop iteration (all accounting uses it)
+        K = self.steps_per_dispatch if self._fast_batching_ok() else 1
         try:
             while time() - start_time < max_time and iterations < max_iter:
                 # train on one batch (async; costs sync at checkpoints)
                 try:
-                    # fused multi-step dispatch needs fixed batch shapes,
-                    # which only the packed fast batcher guarantees
-                    K = self.steps_per_dispatch if self._fast_batching_ok() else 1
                     if K > 1:
                         cost = self.train_function_stacked(next(batch_generator))
                     else:
@@ -1030,8 +1047,8 @@ class RNNBase:
                     break
 
                 cost_sum = cost if cost_sum is None else cost_sum + cost
-                cost_count += self.steps_per_dispatch
-                iterations += self.steps_per_dispatch
+                cost_count += K
+                iterations += K
 
                 if time_based_progress:
                     progress_indicator = int(time() - start_time)
@@ -1090,12 +1107,17 @@ class RNNBase:
                             ):
                                 break
 
-                    if isinstance(progress, int):
-                        next_save += min(progress, max_progress_interval)
-                    else:
-                        next_save += min(
-                            max_progress_interval, next_save * (progress - 1)
-                        )
+                    # catch up past the current indicator (iterations can
+                    # jump by K per loop, and a slow validation pass can
+                    # overshoot a time-based schedule): without this a
+                    # full validation+save would run after EVERY dispatch
+                    while next_save <= progress_indicator:
+                        if isinstance(progress, int):
+                            next_save += min(progress, max_progress_interval)
+                        else:
+                            next_save += min(
+                                max_progress_interval, next_save * (progress - 1)
+                            )
         except KeyboardInterrupt:
             print("Training interrupted")
 

@@ -42,14 +42,12 @@ import jax.numpy as jnp
 
 from seqrec_tpu.models.base import RNNBase
 from seqrec_tpu.ops import losses
+from seqrec_tpu.ops.core import pad_bucket
 from seqrec_tpu.utils import evaluation
 
 
 def _bucket(n: int, lo: int = 16) -> int:
-    b = lo
-    while b < n:
-        b *= 2
-    return b
+    return pad_bucket(n, floor=lo)
 
 
 class RNNCluster(RNNBase):

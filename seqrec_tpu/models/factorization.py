@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from seqrec_tpu.models.base import RNNBase
+from seqrec_tpu.ops.core import pad_bucket as _bucket
 from seqrec_tpu.utils import evaluation
 
 
@@ -711,13 +712,6 @@ def _scan_subchunks(chunk_fn, n_params: int, n_sub: int):
         return (*params, costs.mean())
 
     return wrapped
-
-
-def _bucket(n: int) -> int:
-    b = 8
-    while b < n:
-        b *= 2
-    return b
 
 
 class FISM(MFBase):

@@ -23,13 +23,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from seqrec_tpu.models.base import RNNBase
+from seqrec_tpu.ops.core import pad_bucket
 
 
 def _bucket(n: int) -> int:
-    b = 16
-    while b < n:
-        b *= 2
-    return b
+    return pad_bucket(n, floor=16)
 
 
 class StackedDenoisingAutoencoder(RNNBase):

@@ -36,6 +36,18 @@ def maybe_grad_clip(x, limit: float):
     return grad_clip(x, limit) if limit else x
 
 
+def pad_bucket(n: int, floor: int = 8) -> int:
+    """Next power-of-two padding bucket (>= floor) for a dynamic size.
+
+    Dynamic shapes retrigger XLA compilation; padding host-side buffers
+    to power-of-two buckets bounds the number of distinct programs.
+    """
+    b = floor
+    while b < n:
+        b *= 2
+    return b
+
+
 # ----------------------------------------------------------------------
 # multi-hot embedding gather-sum
 # ----------------------------------------------------------------------

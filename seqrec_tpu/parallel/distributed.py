@@ -37,11 +37,13 @@ def init_distributed() -> bool:
     Returns True when running distributed. Safe to call unconditionally
     (no-ops on single-process environments).
     """
-    if jax.process_count() > 1:
-        return True  # already initialized
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
     nproc = os.environ.get("JAX_NUM_PROCESSES")
     pid = os.environ.get("JAX_PROCESS_ID")
+    # NOTE: do not touch jax.process_count()/jax.devices() before the
+    # initialize() attempt — any backend query initializes the local
+    # runtime and guarantees initialize() raises, silently degrading a
+    # multi-host launch into per-host standalone runs
     try:
         if addr and nproc and pid:
             jax.distributed.initialize(
@@ -54,6 +56,20 @@ def init_distributed() -> bool:
             jax.distributed.initialize()
         else:
             return False
+    except RuntimeError as exc:
+        # two cases raise RuntimeError: (a) initialize() was already
+        # called — idempotent re-entry, process_count reports the real
+        # cluster size; (b) a jax computation already initialized the
+        # local backend — the multi-host env asked for a distributed run
+        # that can no longer happen, so fail loudly rather than letting
+        # every host train standalone with duplicated work
+        if jax.process_count() > 1:
+            return True
+        raise RuntimeError(
+            "multi-host environment variables are set but the JAX backend "
+            "was already initialized single-process; call "
+            "init_distributed() before any other JAX operation"
+        ) from exc
     except Exception as exc:  # pragma: no cover - env dependent
         print("jax.distributed initialization skipped:", exc)
         return False
