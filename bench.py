@@ -137,13 +137,36 @@ def measure_end_to_end(model, steps: int) -> float:
 
 
 def measure_cpu_baseline(steps: int) -> float:
-    """Reference operating point (batch 16) on one CPU host."""
+    """Reference operating point (batch 16) on one CPU host.
+
+    Runs in an isolated ``JAX_PLATFORMS=cpu`` subprocess: mixing the CPU
+    backend into a process that already initialized the remote TPU
+    platform deadlocks (the CPU compile never returns), so the baseline
+    must never share a process with the TPU measurement.
+    """
+    import subprocess
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--cpu-baseline-worker",
+         "--steps", str(steps)],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            return float(line)
+        except ValueError:
+            continue
+    raise RuntimeError(f"cpu baseline worker failed: {out.stderr[-2000:]}")
+
+
+def _cpu_baseline_worker(steps: int) -> None:
     import jax
 
     cpu = jax.devices("cpu")[0]
     model = make_model(16)
     batch = make_batch(16, np.random.default_rng(1))
-    return measure(model, batch, steps, device=cpu)
+    print(measure(model, batch, steps, device=cpu))
 
 
 def main():
@@ -151,8 +174,13 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--steps", type=int, default=2048)
+    ap.add_argument("--cpu-baseline-worker", action="store_true",
+                    help=argparse.SUPPRESS)
     args = ap.parse_args()
     steps = 256 if args.quick else args.steps
+    if args.cpu_baseline_worker:
+        _cpu_baseline_worker(args.steps)
+        return
 
     # main measurement on the default device (TPU under the driver):
     # the full training loop (host packed batching + async device steps)
@@ -187,6 +215,11 @@ def main():
             }
         )
     )
+    # the measurement is done and the line is out: exit without running
+    # interpreter teardown, which intermittently SIGABRTs in the
+    # experimental remote-TPU client while the prefetch threads unwind
+    sys.stdout.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":
