@@ -457,6 +457,12 @@ class RNNBase:
             self._dev_params_src = self.params
         return self._dev_params
 
+    def _input_window(self, sequence):
+        """Input truncation for prediction: last ``max_length`` items
+        (rnn_base.py:144). Order-free bag models (SDAE) override to keep
+        the whole sequence."""
+        return sequence[-min(self.max_length, len(sequence)) :]
+
     def top_k_recommendations(self, sequence, user_id=None, k=10, exclude=None):
         """Receives a sequence of (id, rating); returns k item ids.
 
@@ -465,7 +471,7 @@ class RNNBase:
         """
         if exclude is None:
             exclude = []
-        seq = sequence[-min(self.max_length, len(sequence)) :]
+        seq = self._input_window(sequence)
         ids, id_mask, mask = self._encode_sequences([seq])
         scores = np.array(
             self._score_jit(self._device_params(), ids, id_mask, mask)[0]

@@ -258,19 +258,26 @@ class RNNCluster(RNNBase):
         return samples, cluster_samples
 
     def _update_scale(self) -> None:
-        """Geometric temperature schedule, once per epoch
-        (rnn_cluster.py:398-406)."""
+        """Geometric temperature schedule, grown at every epoch *boundary*
+        (rnn_cluster.py:398-406; the documented contract at
+        rnn_cluster.py:61-62 is "after each training epoch").
+
+        The reference's literal condition (`epochs > _last_epoch + 1` with
+        `_last_epoch` seeded from the first batch's fractional epoch) delays
+        the first growth to ~1.5 epochs; we track floor(epochs) so each
+        crossing of an integer boundary applies exactly one growth step.
+        The reference also stores ``max_scale`` but never applies it
+        (rnn_cluster.py:402 has no clamp); we honor the documented clamp.
+        """
+        epoch = int(self.dataset.training_set.epochs)
         if not hasattr(self, "_last_epoch"):
-            self._last_epoch = self.dataset.training_set.epochs
-        elif (
-            self.dataset.training_set.epochs > self._last_epoch + 1
-            and self.scale_growing_rate != 1.0
-        ):
-            steps = int(self.dataset.training_set.epochs - self._last_epoch)
+            self._last_epoch = epoch
+        elif epoch > self._last_epoch and self.scale_growing_rate != 1.0:
+            steps = epoch - self._last_epoch
             self.effective_scale = min(
                 self.max_scale, self.effective_scale * self.scale_growing_rate ** steps
             )
-            self._last_epoch += steps
+            self._last_epoch = epoch
             print("New scale: ", self.effective_scale)
 
     def _finalize_packed_batch(self, packed, target_ratings):

@@ -156,6 +156,21 @@ class StackedDenoisingAutoencoder(RNNBase):
                 "dropout_seed": np.int32(self._dropout_seed),
             }
 
+    # eval encoding: the SDAE consumes the ENTIRE first half of the
+    # sequence as an order-free bag (stacked_denoising_autoencoder.py:147-149)
+    # — never truncated to the timestep models' max_length. Used by both
+    # the staged batched eval (base._stage_eval_inputs) and the single-user
+    # predict path; ids keep a trailing feature axis so the shared compact
+    # wire (base.topk_wire_fn) can rebuild masks/seen-ids unchanged.
+    def _encode_sequences(self, seqs):
+        pad = _bucket(max(1, max(len(s) for s in seqs)))
+        items = [[int(x[0]) for x in s] for s in seqs]
+        ids, mask = self._encode_bag(items, pad)
+        return ids[..., None], None, mask
+
+    def _input_window(self, sequence):
+        return sequence
+
     # batched eval: input = first-half bag, goal = suffix
     def _iter_test_instances(self, sequence_generator):
         for sequence, user_id in sequence_generator:

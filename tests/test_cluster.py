@@ -92,6 +92,32 @@ def test_scale_grows_with_epochs(synthetic_handler):
     synthetic_handler.training_set.epochs = 0.0
 
 
+def test_scale_grows_at_every_epoch_boundary(synthetic_handler):
+    """One growth step per integer epoch crossing: epochs 0 -> 1 -> 2 applies
+    exactly two growth steps (rnn_cluster.py:61-62 contract)."""
+    model = _rnn_cluster(
+        synthetic_handler, scale_growing_rate=2.0, init_scale=1.0, max_scale=50.0
+    )
+    model.set_dataset(synthetic_handler)
+    store = synthetic_handler.training_set
+    try:
+        for e in (0.01, 0.7):  # first epoch: no growth
+            store.epochs = e
+            model._update_scale()
+            assert model.effective_scale == 1.0
+        store.epochs = 1.01  # first boundary crossed
+        model._update_scale()
+        assert model.effective_scale == 2.0
+        store.epochs = 1.9  # still within the second epoch
+        model._update_scale()
+        assert model.effective_scale == 2.0
+        store.epochs = 2.05  # second boundary
+        model._update_scale()
+        assert model.effective_scale == 4.0
+    finally:
+        store.epochs = 0.0
+
+
 def test_fism_cluster_trains(synthetic_handler):
     model = FISMCluster(
         h=16,

@@ -20,6 +20,39 @@ def test_sdae_bag_encoding(synthetic_handler):
     assert bag[1, 2] == 1 and bag[1].sum() == 1  # masked duplicate ignored
 
 
+def test_sdae_eval_bag_not_truncated(synthetic_handler):
+    """A >max_length first half must be consumed WHOLE (the reference SDAE
+    feeds the entire first half, stacked_denoising_autoencoder.py:147-149):
+    staged-eval scores must match an untruncated numpy one-hot oracle."""
+    model = StackedDenoisingAutoencoder(
+        layers=[8], updater=Adam(0.01), batch_size=4, max_length=16, seed=0
+    )
+    model.prepare_model(synthetic_handler)
+    model.params = model._init_params()
+    model._build_functions()
+    n = synthetic_handler.n_items
+    rng = np.random.default_rng(3)
+    items = rng.choice(n, size=40, replace=False)  # 40 > max_length=16
+    seq = [[int(i), 5.0] for i in items]
+
+    # oracle: full multi-hot -> forward in numpy
+    x = np.zeros(n, dtype=np.float32)
+    x[items] = 1.0
+    h = np.maximum(x @ model.params["W0"] + model.params["b0"], 0.0)
+    logits = h @ model.params["W_out"] + model.params["b_out"]
+    oracle = 1.0 / (1.0 + np.exp(-logits))
+    oracle[items] = -np.inf  # seen-item masking
+    want = set(np.argsort(-oracle)[:5].tolist())
+
+    staged = model._stage_eval_inputs([seq])
+    got = set(int(v) for v in model._topk_from_staged(staged, k=5)[0])
+    assert got == want
+
+    # single-user path agrees too
+    recs = model.top_k_recommendations(seq, k=5)
+    assert set(int(v) for v in recs) == want
+
+
 def test_sdae_learns(synthetic_handler):
     model = StackedDenoisingAutoencoder(
         layers=[32], input_dropout=0.3, dropout=0.3,
