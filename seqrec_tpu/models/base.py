@@ -140,6 +140,9 @@ class RNNBase:
         # >1 dispatches that many optimizer steps per device RPC (scan on
         # device); amortizes remote-dispatch overhead at small batch sizes
         self.steps_per_dispatch = 1
+        # ("data", "model") device mesh for sharded training/eval;
+        # None = single-device (set via set_mesh / train.py --mesh)
+        self.mesh = None
 
     # ------------------------------------------------------------------
     # featurization: packed sparse ids per timestep
@@ -197,6 +200,59 @@ class RNNBase:
         self.dataset = dataset
         self.target_selection.set_dataset(dataset)
         self._val_cache = None
+
+    # ------------------------------------------------------------------
+    # multi-device mesh (train.py --mesh; no reference counterpart —
+    # SURVEY.md §2.9: the reference is strictly single-device)
+    # ------------------------------------------------------------------
+    def set_mesh(self, mesh) -> None:
+        """Route training and eval through a ("data", "model") device
+        mesh: catalog tables (input embedding rows, softmax columns)
+        shard over "model", the batch over "data"; dense tower weights
+        replicate and their gradients all-reduce over "data"."""
+        if mesh is not None:
+            n_data = mesh.shape["data"]
+            if self.batch_size % n_data:
+                raise ValueError(
+                    f"batch_size {self.batch_size} is not divisible by the "
+                    f"mesh data axis ({n_data})"
+                )
+            if self.eval_batch_size % n_data:
+                self.eval_batch_size += n_data - self.eval_batch_size % n_data
+        self.mesh = mesh
+        self._val_cache = None
+
+    def _shard_state(self) -> None:
+        """Shard params (and optimizer state) over ``self.mesh``.
+
+        Loaded checkpoints are host pytrees; freshly initialized params
+        too. Optimizer state mirrors the param tree (optax), so a loaded
+        state inherits each slot's sharding from a sharded template."""
+        import jax
+
+        from seqrec_tpu.parallel import param_sharding
+
+        self.params = jax.device_put(
+            self.params, param_sharding(self.params, self.mesh)
+        )
+        if self.opt_state is None:
+            self.opt_state = self._opt.init(self.params)
+        else:
+            template = self._opt.init(self.params)
+            self.opt_state = jax.tree_util.tree_map(
+                lambda loaded, tmpl: jax.device_put(loaded, tmpl.sharding),
+                self.opt_state,
+                template,
+            )
+
+    def _shard_batch_gen(self, gen):
+        """Wrap a host-batch generator with data-sharded device_puts."""
+        import jax
+
+        from seqrec_tpu.parallel import batch_sharding
+
+        for b in gen:
+            yield jax.device_put(b, batch_sharding(b, self.mesh))
 
     def _out_matmul(self, h, w_out, b_out):
         """Catalog-sized output matmul in the compute dtype (f32 accum)."""
@@ -418,8 +474,16 @@ class RNNBase:
             # explicit generator (not a genexp) so closing this stage
             # deterministically closes the upstream prefetch too
             try:
-                for p in upstream:
-                    yield jax.device_put(p)
+                if self.mesh is not None:
+                    from seqrec_tpu.parallel import stacked_batch_sharding
+
+                    for p in upstream:
+                        yield jax.device_put(
+                            p, stacked_batch_sharding(p, self.mesh)
+                        )
+                else:
+                    for p in upstream:
+                        yield jax.device_put(p)
             finally:
                 upstream.close()
 
@@ -643,6 +707,10 @@ class RNNBase:
         import jax
 
         host = self._build_index_store(training_set)
+        if sharding is None and self.mesh is not None:
+            from seqrec_tpu.parallel import store_sharding
+
+            sharding = store_sharding(host, self.mesh)
         if sharding is not None:
             return jax.device_put(host, sharding)
         return jax.device_put(host)
@@ -898,6 +966,15 @@ class RNNBase:
         returns [(n_real_rows, (ids_dev, lengths_dev)), ...]."""
         import jax
 
+        shardings = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            row = lambda nd: NamedSharding(  # noqa: E731
+                self.mesh, P("data", *([None] * (nd - 1)))
+            )
+            shardings = row  # per-array, built below once ndim is known
+
         chunk = self.eval_batch_size
         staged = []
         for c0 in range(0, len(inputs), chunk):
@@ -909,7 +986,14 @@ class RNNBase:
             if self._input_size() + 1 < np.iinfo(np.int16).max:
                 ids = ids.astype(np.int16)
             # async upload: all chunk transfers start before any dispatch
-            staged.append((len(batch), jax.device_put((ids, lengths))))
+            if shardings is not None:
+                dev = (
+                    jax.device_put(ids, shardings(ids.ndim)),
+                    jax.device_put(lengths, shardings(1)),
+                )
+            else:
+                dev = jax.device_put((ids, lengths))
+            staged.append((len(batch), dev))
         return staged
 
     def _topk_from_staged(self, staged, k: int) -> np.ndarray:
@@ -1008,14 +1092,22 @@ class RNNBase:
         epochs_offset = 0
         if load_last_model:
             epochs_offset = self.load_last(save_dir)
-        if self.opt_state is None:
+        if self.mesh is not None:
+            self._shard_state()
+        elif self.opt_state is None:
             self.opt_state = self._opt.init(self.params)
 
+        # a mesh run always routes the fast path through the stacked
+        # pipeline (even at K=1) so every payload crosses the link with
+        # explicit ("data",) shardings
+        use_stacked = self._fast_batching_ok() and (
+            self.steps_per_dispatch > 1 or self.mesh is not None
+        )
         if self._fast_batching_ok():
             # vectorized packed batches, assembled in a prefetch thread
             # (with a dedicated RNG: numpy Generators are not thread-safe)
             batch_rng = np.random.default_rng(self.seed + 77)
-            if self.steps_per_dispatch > 1:
+            if use_stacked:
                 batch_generator = self._payload_pipeline(
                     dataset.training_set, batch_rng, self.steps_per_dispatch
                 )
@@ -1027,6 +1119,8 @@ class RNNBase:
             batch_generator = self._gen_mini_batch(
                 self.sequence_noise(dataset.training_set())
             )
+            if self.mesh is not None:
+                batch_generator = self._shard_batch_gen(batch_generator)
 
         start_time = time()
         next_save = int(progress)
@@ -1045,7 +1139,7 @@ class RNNBase:
             while time() - start_time < max_time and iterations < max_iter:
                 # train on one batch (async; costs sync at checkpoints)
                 try:
-                    if K > 1:
+                    if use_stacked:
                         cost = self.train_function_stacked(next(batch_generator))
                     else:
                         cost = self.train_function(next(batch_generator))
@@ -1219,13 +1313,25 @@ class RNNBase:
     # optimizer state (rnn_base.py:470-479), so parity default is False
     save_optimizer_state = False
 
+    @staticmethod
+    def _gather_leaf(leaf) -> np.ndarray:
+        """Host copy of a (possibly mesh-sharded) array. Single-process
+        sharded arrays are fully addressable and assemble locally; on a
+        multi-host mesh the shards are gathered across processes so every
+        host writes a complete checkpoint."""
+        if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(leaf, tiled=True))
+        return np.asarray(leaf)
+
     def save(self, filename: str) -> None:
         print("Save model in " + filename)
-        tree = {"params": jax.tree_util.tree_map(np.asarray, self.params)}
+        tree = {"params": jax.tree_util.tree_map(self._gather_leaf, self.params)}
         if self.save_optimizer_state and self.opt_state is not None:
             leaves = jax.tree_util.tree_leaves(self.opt_state)
             tree["opt"] = {
-                str(i): np.asarray(leaf) for i, leaf in enumerate(leaves)
+                str(i): self._gather_leaf(leaf) for i, leaf in enumerate(leaves)
             }
         pytree_save(filename, tree)
 

@@ -5,6 +5,7 @@ from seqrec_tpu.parallel.mesh import (
     param_sharding,
     shard_batch,
     shard_params,
+    stacked_batch_sharding,
     store_sharding,
 )
 
@@ -13,6 +14,7 @@ __all__ = [
     "param_sharding",
     "batch_sharding",
     "index_payload_sharding",
+    "stacked_batch_sharding",
     "store_sharding",
     "shard_params",
     "shard_batch",

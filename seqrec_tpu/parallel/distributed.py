@@ -44,6 +44,9 @@ def init_distributed() -> bool:
     # initialize() attempt — any backend query initializes the local
     # runtime and guarantees initialize() raises, silently degrading a
     # multi-host launch into per-host standalone runs
+    workers = [
+        w for w in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if w
+    ]
     try:
         if addr and nproc and pid:
             jax.distributed.initialize(
@@ -51,8 +54,11 @@ def init_distributed() -> bool:
                 num_processes=int(nproc),
                 process_id=int(pid),
             )
-        elif os.environ.get("TPU_WORKER_HOSTNAMES"):
-            # TPU pod slice: jax can auto-detect from the TPU environment
+        elif len(workers) > 1:
+            # multi-worker TPU pod slice: jax auto-detects the coordinator
+            # from the TPU environment. (A single-name TPU_WORKER_HOSTNAMES
+            # is a one-host slice — e.g. the axon tunnel sets "localhost" —
+            # and needs no distributed runtime.)
             jax.distributed.initialize()
         else:
             return False

@@ -82,28 +82,86 @@ def _spec_for_param(path: tuple, leaf) -> P:
     return P()  # replicate dense tower weights
 
 
-def param_sharding(params, mesh: Mesh):
-    """NamedSharding pytree for a model parameter pytree."""
+def _divisible(spec: P, leaf, mesh: Mesh) -> bool:
+    """GSPMD device_put needs every sharded dimension to divide evenly."""
+    shape = np.shape(leaf)
+    for axis, names in enumerate(spec):
+        if names is None:
+            continue
+        for name in (names,) if isinstance(names, str) else names:
+            if shape[axis] % mesh.shape[name]:
+                return False
+    return True
+
+
+def param_sharding(params, mesh: Mesh, verbose: bool = True):
+    """NamedSharding pytree for a model parameter pytree.
+
+    Tables whose catalog dimension does not divide the "model" axis fall
+    back to replication (catalog sizes are arbitrary — e.g. ML-1M's 3706
+    items on a 4-way model axis); everything else still shards, and the
+    batch stays data-parallel."""
     flat = jax.tree_util.tree_flatten_with_path(params)
-    specs = [
-        NamedSharding(mesh, _spec_for_param(path, leaf)) for path, leaf in flat[0]
-    ]
+    specs = []
+    for path, leaf in flat[0]:
+        spec = _spec_for_param(path, leaf)
+        if spec != P() and not _divisible(spec, leaf, mesh):
+            if verbose:
+                name = "/".join(
+                    getattr(p, "key", getattr(p, "name", str(p))) for p in path
+                )
+                print(
+                    f"mesh: {name} {np.shape(leaf)} does not divide the "
+                    f"model axis ({mesh.shape['model']}); replicating"
+                )
+            spec = P()
+        specs.append(NamedSharding(mesh, spec))
     return jax.tree_util.tree_unflatten(flat[1], specs)
+
+
+# batch fields shared across the whole batch (negative-sample sets, the
+# margin default-target vector, per-step scalars) — replicated, never
+# sharded over "data"
+_REPLICATED_BATCH_KEYS = {
+    "samples",
+    "cluster_samples",
+    "default_target",
+    "scale",
+    "noise_seed",
+    "dropout_seed",
+}
 
 
 def batch_sharding(batch: dict, mesh: Mesh):
     """Batch arrays shard over "data" on their leading (batch) axis;
     batch-independent arrays (shared negative samples, default targets)
     replicate."""
-    replicated = {"samples", "default_target", "cluster_samples"}
     out = {}
     for k, v in batch.items():
-        if k in replicated or np.ndim(v) == 0:
+        if k in _REPLICATED_BATCH_KEYS or np.ndim(v) == 0:
             out[k] = NamedSharding(mesh, P())
         else:
             out[k] = NamedSharding(
                 mesh, P("data", *([None] * (np.ndim(v) - 1)))
             )
+    return out
+
+
+def stacked_batch_sharding(payload: dict, mesh: Mesh):
+    """Sharding for a [K, B, ...] stacked K-step dispatch payload:
+    per-example arrays shard over "data" on the batch axis (axis 1);
+    per-step shared fields ([K]-leading scalars, [K, S] sample sets)
+    replicate. Covers both the index wire (rows/cuts) and the stacked
+    compact wire (ids/lengths/targets/...)."""
+    out = {}
+    for k, v in payload.items():
+        nd = np.ndim(v)
+        if k not in _REPLICATED_BATCH_KEYS and nd >= 2:
+            spec = [None] * nd
+            spec[1] = "data"
+            out[k] = NamedSharding(mesh, P(*spec))
+        else:
+            out[k] = NamedSharding(mesh, P())
     return out
 
 

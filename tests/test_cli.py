@@ -88,6 +88,50 @@ def test_train_and_test_cli_end_to_end(synthetic_dataset, capsys):
     assert "sps@10" in out and "recall@10" in out
 
 
+def test_train_cli_mesh_matches_single_device(synthetic_dataset):
+    """`--mesh 4,2` on the virtual 8-device mesh must train to the same
+    validation trajectory and the same checkpointed parameters as the
+    single-device run (same seed → identical batch sampling; the sharded
+    step is numerically the single-device step, tests/test_parallel.py)."""
+    import glob
+
+    import train as train_cli
+    from seqrec_tpu.models.base import pytree_load
+
+    common = [
+        "-d", str(synthetic_dataset), "-m", "RNN", "--loss", "CCE",
+        "--r_t", "GRU", "--r_l", "8", "--max_length", "10", "-b", "8",
+        "--u_l", "0.01", "--max_iter", "24", "--progress", "12",
+        "--save", "All", "--metrics", "sps,recall",
+    ]
+    res_a = train_cli.main(common + ["--dir", "mesh_a/"])
+    res_b = train_cli.main(common + ["--dir", "mesh_b/", "--mesh", "4,2"])
+
+    for m in ("sps", "recall", "ndcg", "item_coverage"):
+        assert np.isclose(res_a[0][m], res_b[0][m], atol=1e-9), (m, res_a, res_b)
+
+    fa = sorted(glob.glob(str(synthetic_dataset) + "models/mesh_a/*"))
+    fb = sorted(glob.glob(str(synthetic_dataset) + "models/mesh_b/*"))
+    assert fa and len(fa) == len(fb)
+    ta, tb = pytree_load(fa[-1]), pytree_load(fb[-1])
+    np.testing.assert_allclose(
+        ta["params"]["W_out"], tb["params"]["W_out"], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_train_cli_mesh_rejects_unsupported_model(synthetic_dataset):
+    import train as train_cli
+
+    with pytest.raises(ValueError, match="single-device"):
+        train_cli.main(
+            [
+                "-d", str(synthetic_dataset), "-m", "BPRMF",
+                "--max_iter", "5", "--progress", "5", "--save", "None",
+                "--mesh", "4,2",
+            ]
+        )
+
+
 def test_load_last_model_resume(synthetic_dataset):
     import train as train_cli
 

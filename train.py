@@ -78,6 +78,17 @@ def training_command_parser(parser):
         default=1,
         type=int,
     )
+    parser.add_argument(
+        "--mesh",
+        help='Shard training over a ("data","model") device mesh: "DATA,MODEL" '
+        '(e.g. "4,2"), or "auto" to span all visible devices. Catalog tables '
+        '(input embedding rows, softmax columns) shard over "model", the batch '
+        'over "data". Multi-host pods: launch the same command on every host '
+        "with JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID set "
+        "(or TPU auto-detection).",
+        default="",
+        type=str,
+    )
 
 
 def num(s):
@@ -87,6 +98,34 @@ def num(s):
         return float(s)
 
 
+def make_cli_mesh(spec: str):
+    """Build the ("data","model") mesh for a --mesh spec.
+
+    Must run before any other JAX operation: multi-host runs have to
+    initialize jax.distributed while the backend is still cold."""
+    from seqrec_tpu.parallel import make_mesh
+    from seqrec_tpu.parallel.distributed import init_distributed, make_pod_mesh
+
+    distributed = init_distributed()
+    if spec == "auto":
+        return make_pod_mesh() if distributed else make_mesh()
+    try:
+        n_data, n_model = (int(x) for x in spec.split(","))
+    except ValueError:
+        raise ValueError(
+            f'--mesh must be "auto" or "DATA,MODEL" (e.g. "4,2"), got {spec!r}'
+        ) from None
+    if distributed:
+        mesh = make_pod_mesh(n_model=n_model)
+        if mesh.shape["data"] != n_data:
+            raise ValueError(
+                f"--mesh {spec} asks for {n_data}x{n_model} devices but the "
+                f"pod exposes {mesh.shape['data']}x{n_model}"
+            )
+        return mesh
+    return make_mesh(n_data=n_data, n_model=n_model)
+
+
 def main(argv=None):
     args = parse.command_parser(
         parse.predictor_command_parser,
@@ -94,6 +133,7 @@ def main(argv=None):
         parse.early_stopping_command_parser,
         argv=argv,
     )
+    mesh = make_cli_mesh(args.mesh) if args.mesh else None
     predictor = parse.get_predictor(args)
     dataset = DataHandler(
         dirname=args.dataset,
@@ -101,6 +141,13 @@ def main(argv=None):
         shuffle_training=args.tshuffle,
     )
     predictor.prepare_model(dataset)
+    if mesh is not None:
+        if not hasattr(predictor, "set_mesh"):
+            raise ValueError(
+                f"--mesh is supported for the RNN/SDAE/cluster families; "
+                f"{predictor.name!r} trains single-device"
+            )
+        predictor.set_mesh(mesh)
     if args.steps_per_dispatch > 1 and hasattr(predictor, "steps_per_dispatch"):
         predictor.steps_per_dispatch = args.steps_per_dispatch
 
