@@ -361,6 +361,53 @@ class MFBase:
     def _sample_users(self, n: int) -> np.ndarray:
         return self.rng.choice(self._eligible_users, size=n)
 
+    def _adaptive_negatives_vec(self, weights, signs, reject_fn) -> np.ndarray:
+        """Vectorized Rendle'14 adaptive negative sampling
+        (bprmf.py:73-99; fpmc.py:86-114).
+
+        Per sample: draw rank ~ Exp(sampling_bias) (re-drawn while
+        ≥ n_items), draw a factor f ∝ ``weights`` row, take the item at
+        the signed rank in the factor-sorted ranking (negative sign ⇒
+        index from the other end, bprmf.py:91), and re-draw both on
+        rejection. All draws are whole-array; each rejection round
+        re-draws only the rejected tail, so the common case is ONE pass
+        (the per-sample rejection probability is the user's history
+        density, typically well under 1%).
+
+        ``weights``/``signs``: [n, F] per-sample factor tables;
+        ``reject_fn(todo_indices, candidates) -> rejected mask``.
+        """
+        n, F = weights.shape
+        cum = np.cumsum(weights, axis=1)  # [n, F] per-row factor CDF
+        out = np.empty(n, dtype=np.int64)
+        todo = np.arange(n)
+        rounds = 0
+        while len(todo):
+            rounds += 1
+            if rounds > 1000:  # the reference would spin forever too
+                raise RuntimeError(
+                    "adaptive sampling rejected 1000 consecutive draws "
+                    f"for {len(todo)} samples"
+                )
+            m = len(todo)
+            rank = self.rng.exponential(scale=self.sampling_bias, size=m)
+            while True:
+                bad = rank >= self.n_items
+                nb = int(bad.sum())
+                if not nb:
+                    break
+                rank[bad] = self.rng.exponential(scale=self.sampling_bias, size=nb)
+            c = cum[todo]
+            rnd = self.rng.random(m) * c[:, -1]
+            f = np.minimum((c < rnd[:, None]).sum(axis=1), F - 1)
+            idx = rank.astype(np.int64) * signs[todo, f].astype(np.int64)
+            cand = self.ranks[idx, f]
+            rejected = np.asarray(reject_fn(todo, cand), dtype=bool)
+            keep = ~rejected
+            out[todo[keep]] = cand[keep]
+            todo = todo[rejected]
+        return out
+
     def _uniform_negatives_for_users(self, users: np.ndarray) -> np.ndarray:
         """Uniform negatives not in each user's FULL history (CSR-backed
         vectorized rejection; equivalent to bprmf.py:95-97)."""
@@ -427,7 +474,20 @@ class BPRMF(MFBase):
         self.ranks = np.argsort(H, axis=0)
         self.var = np.var(H, axis=0)
 
-    def _adaptive_negatives(self, users, user_item_rows):
+    def _adaptive_negatives(self, users):
+        """Whole-chunk adaptive negatives: per-sample factor tables from
+        the user rows of V, rejection = CSR membership in the user's
+        history (bprmf.py:95-97)."""
+        Vu = self._np("V")[users]
+        return self._adaptive_negatives_vec(
+            np.abs(Vu) * self.var,
+            np.sign(Vu),
+            lambda todo, cand: self._is_member(users[todo], cand),
+        )
+
+    def _adaptive_negatives_loop(self, users, user_item_rows):
+        """Reference-shaped per-sample loop (bprmf.py:73-99); kept as the
+        distribution oracle for tests — never on the training path."""
         n = len(users)
         V = self._np("V")
         out = np.empty(n, dtype=np.int64)
@@ -455,11 +515,7 @@ class BPRMF(MFBase):
         offs, lens = self.users[users, 0], self.users[users, 1]
         true_items = self.items[offs + self.rng.integers(0, lens)]
         if self.adaptive_sampling:
-            rows = [
-                self.items[self.users[u, 0] : self.users[u, 0] + self.users[u, 1]]
-                for u in users
-            ]
-            false_items = self._adaptive_negatives(users, rows)
+            false_items = self._adaptive_negatives(users)
         else:
             false_items = self._uniform_negatives_for_users(users)
         return users, true_items, false_items
@@ -602,23 +658,18 @@ class FPMC(MFBase):
         prevs = self.items[offs + r]
         trues = self.items[offs + r + 1]
         if self.adaptive_sampling:
-            VUI = self._np("V_user_item")
-            VPN = self._np("V_prev_next")
-            falses = np.empty(n, dtype=np.int64)
-            for s in range(n):
-                concat = np.concatenate((VUI[users[s]], VPN[prevs[s]]))
-                factor_prob = np.abs(concat) * self.var
-                p = factor_prob / factor_prob.sum()
-                signs = np.sign(concat)
-                while True:
-                    rank = self.rng.exponential(scale=self.sampling_bias)
-                    while rank >= self.n_items:
-                        rank = self.rng.exponential(scale=self.sampling_bias)
-                    f = self.rng.choice(self.k_cf + self.k_mc, p=p)
-                    false_next = self.ranks[int(int(rank) * signs[f]), f]
-                    if false_next != trues[s]:
-                        break
-                falses[s] = false_next
+            # whole-chunk adaptive draw over the concatenated CF+MC
+            # factor tables (fpmc.py:86-114); rejection = sampled the
+            # true next item
+            concat = np.concatenate(
+                (self._np("V_user_item")[users], self._np("V_prev_next")[prevs]),
+                axis=1,
+            )
+            falses = self._adaptive_negatives_vec(
+                np.abs(concat) * self.var,
+                np.sign(concat),
+                lambda todo, cand: cand == trues[todo],
+            )
         else:
             falses = self.rng.integers(0, self.n_items - 1, size=n)
             falses[falses >= trues] += 1  # ensure false != true (fpmc.py:110-112)

@@ -243,3 +243,49 @@ def test_bprmf_adaptive_sampling_runs(synthetic_handler):
     model.init_model()
     cost, n = model.training_step(0)
     assert n == 64 and 0.0 <= cost <= 1.0
+
+
+def test_adaptive_sampling_distribution_parity(synthetic_handler):
+    """The vectorized Rendle'14 sampler must draw from the SAME
+    distribution as the reference-shaped per-sample loop (bprmf.py:73-99):
+    compare empirical per-item negative frequencies for fixed users."""
+    model = BPRMF(k=4, adaptive_sampling=True, sampling_bias=15, init_sigma=0.5, seed=0)
+    model.prepare_model(synthetic_handler)
+    model.change_data_format(synthetic_handler)
+    model.init_model()
+    model.compute_factor_rankings()
+
+    n_draws = 12000
+    users = np.full(n_draws, int(model._eligible_users[0]), dtype=np.int64)
+    rows = [
+        model.items[model.users[u, 0] : model.users[u, 0] + model.users[u, 1]]
+        for u in users
+    ]
+
+    model.rng = np.random.default_rng(7)
+    vec = model._adaptive_negatives(users)
+    model.rng = np.random.default_rng(8)
+    loop = model._adaptive_negatives_loop(users, rows)
+
+    # neither may ever sample a seen item
+    assert not model._is_member(users, vec).any()
+    assert not model._is_member(users, loop).any()
+
+    f_vec = np.bincount(vec, minlength=model.n_items) / n_draws
+    f_loop = np.bincount(loop, minlength=model.n_items) / n_draws
+    # same support concentration: total variation distance small for
+    # 12k draws from identical distributions (TV fluctuates ~sqrt(S/n))
+    tv = 0.5 * np.abs(f_vec - f_loop).sum()
+    assert tv < 0.08, tv
+
+
+def test_fpmc_adaptive_sampling_excludes_true_item(synthetic_handler):
+    model = FPMC(k_cf=4, k_mc=4, adaptive_sampling=True, sampling_bias=15, init_sigma=0.5, seed=0)
+    model.samples_per_step = 256
+    model.prepare_model(synthetic_handler)
+    model.change_data_format(synthetic_handler)
+    model.init_model()
+    model.compute_factor_rankings()
+    u, p, i, j = model._sample_chunk(256)
+    assert not (i == j).any()
+    assert ((j >= 0) & (j < model.n_items)).all()
