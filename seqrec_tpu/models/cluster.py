@@ -456,22 +456,90 @@ class RNNCluster(RNNBase):
         self.clusters_embeddings = [item_embeddings[:, c] for c in self.clusters]
         self.clusters_bias = [item_bias[c] for c in self.clusters]
 
+    def _build_rep_jit(self) -> None:
+        def rep_fn(params, ids, id_mask, mask):
+            h = self.recurrent_layer.apply(params["tower"], ids, mask, id_mask, fast=True)
+            c = jnp.argmax(
+                jnp.dot(h, params["W_cs"], preferred_element_type=jnp.float32),
+                axis=-1,
+            )
+            return h, c
+
+        self._rep_jit = jax.jit(rep_fn)
+
     def _predict_representation(self, sequence):
         seq = sequence[-min(self.max_length, len(sequence)) :] if np.isfinite(
             self.max_length
         ) else sequence
         ids, id_mask, mask = self._encode_sequences([seq])
         if not hasattr(self, "_rep_jit"):
-            def rep_fn(params, ids, id_mask, mask):
-                h = self.recurrent_layer.apply(params["tower"], ids, mask, id_mask, fast=True)
-                c = jnp.argmax(
-                    jnp.dot(h, params["W_cs"], preferred_element_type=jnp.float32),
-                    axis=-1,
-                )
-                return h, c
-            self._rep_jit = jax.jit(rep_fn)
+            self._build_rep_jit()
         h, c = self._rep_jit(self.params, ids, id_mask, mask)
         return np.asarray(h)[0], int(np.asarray(c)[0])
+
+    def _batch_representations(self, seqs):
+        """(h [B,H], argmax cluster [B]) for a list of input sequences:
+        chunked device passes instead of one call per user."""
+        if not hasattr(self, "_rep_jit"):
+            self._build_rep_jit()
+        chunk = self.eval_batch_size
+        hs, cs = [], []
+        for c0 in range(0, len(seqs), chunk):
+            part = seqs[c0 : c0 + chunk]
+            enc = part + [part[-1]] * (chunk - len(part))
+            if np.isfinite(self.max_length):
+                L = int(self.max_length)
+                enc = [s[-min(L, len(s)) :] for s in enc]
+            ids, id_mask, mask = self._encode_sequences(enc)
+            h, c = self._rep_jit(self.params, ids, id_mask, mask)
+            hs.append(np.asarray(h)[: len(part)])
+            cs.append(np.asarray(c)[: len(part)])
+        return np.concatenate(hs), np.concatenate(cs)
+
+    def top_k_batch_clustered(self, seqs, k=10):
+        """Batched test-time prediction (replaces the per-user loop the
+        reference uses at test.py:61-76 / rnn_cluster.py:489-513): one
+        chunked device pass yields every user's representation + argmax
+        cluster, then users are GROUPED BY CLUSTER and each group scored
+        with a single matmul against that cluster's sliced embedding
+        table. Returns (recommendation lists, items-in-cluster counts —
+        the ASSR datapoints)."""
+        if not seqs:
+            return [], []
+        h, c = self._batch_representations(seqs)
+        B = len(seqs)
+        if not self.predict_with_clusters:
+            w_out = np.asarray(self.params["W_out"])
+            b_out = np.asarray(self.params["b_out"])
+            scores = h @ w_out + b_out
+            for row, seq in enumerate(seqs):
+                if self.interactions_are_unique:
+                    scores[row, [int(i[0]) for i in seq]] = -np.inf
+            kk = min(k, scores.shape[1])
+            top = np.argpartition(-scores, range(kk), axis=1)[:, :kk]
+            return [list(map(int, t)) for t in top], [self.n_items] * B
+        if not hasattr(self, "clusters"):
+            self.prepare_tests()
+        recs: list = [None] * B
+        ns = [0] * B
+        for cl in range(self.n_clusters):
+            rows = np.where(c == cl)[0]
+            if len(rows) == 0:
+                continue
+            members = self.clusters[cl]
+            rev = self.clusters_reverse_index[cl]
+            scores = h[rows] @ self.clusters_embeddings[cl] + self.clusters_bias[cl]
+            eff_k = min(k, len(members))
+            for rr, row in enumerate(rows):
+                if self.interactions_are_unique:
+                    ex = [
+                        rev[int(i[0])] for i in seqs[row] if int(i[0]) in rev
+                    ]
+                    scores[rr, ex] = -np.inf
+                top = np.argpartition(-scores[rr], range(eff_k))[:eff_k]
+                recs[row] = [int(members[t]) for t in top]
+                ns[row] = len(members)
+        return recs, ns
 
     def top_k_recommendations(self, sequence, user_id=None, k=10, exclude=None):
         if exclude is None:
@@ -657,13 +725,17 @@ class FISMCluster(RNNCluster):
     def _predict_representation(self, sequence):
         ids, _, mask = self._encode_sequences([sequence])
         if not hasattr(self, "_rep_jit"):
-            def rep_fn(params, ids, mask):
-                h = self._rep_from_arrays(params, ids, mask)
-                c = jnp.argmax(
-                    jnp.dot(h, params["W_cs"], preferred_element_type=jnp.float32),
-                    axis=-1,
-                )
-                return h, c
-            self._rep_jit = jax.jit(rep_fn)
-        h, c = self._rep_jit(self.params, ids, mask)
+            self._build_rep_jit()
+        h, c = self._rep_jit(self.params, ids, None, mask)
         return np.asarray(h)[0], int(np.asarray(c)[0])
+
+    def _build_rep_jit(self) -> None:
+        def rep_fn(params, ids, id_mask, mask):
+            h = self._rep_from_arrays(params, ids, mask)
+            c = jnp.argmax(
+                jnp.dot(h, params["W_cs"], preferred_element_type=jnp.float32),
+                axis=-1,
+            )
+            return h, c
+
+        self._rep_jit = jax.jit(rep_fn)

@@ -141,14 +141,56 @@ class MFBase:
     def get_pareto_front(self, metrics, metrics_names):
         return RNNBase.get_pareto_front(self, metrics, metrics_names)
 
+    # batched prediction ------------------------------------------------
+    @staticmethod
+    def _bag_sums(V, seqs):
+        """Per-user sums of V rows over each sequence's items, via one
+        flat gather + scatter-add. Returns (sums [B,k], lens [B],
+        flat item ids, ends [B] exclusive offsets into flat)."""
+        lens = np.array([len(s) for s in seqs], dtype=np.int64)
+        total = int(lens.sum())
+        flat = np.fromiter(
+            (int(i[0]) for s in seqs for i in s), dtype=np.int64, count=total
+        )
+        rows = np.repeat(np.arange(len(seqs)), lens)
+        sums = np.zeros((len(seqs), V.shape[1]), dtype=V.dtype)
+        np.add.at(sums, rows, V[flat])
+        return sums, lens, flat, np.cumsum(lens)
+
+    def _batch_scores(self, user_ids, seqs):
+        """[B, n_items] scores for a batch of (user, input-sequence)
+        pairs, or None when the model has no vectorized scorer (falls
+        back to per-user ``top_k_recommendations``)."""
+        return None
+
+    def top_k_batch(self, instances, k=10):
+        """Vectorized top-k for ``[(sequence, user_id), ...]``: one
+        whole-matrix scoring pass + one argpartition, instead of the
+        reference's one full-catalog scoring call per user
+        (mf_base.py:66-80)."""
+        if not instances:
+            return []
+        user_ids = np.array([int(u) for _, u in instances], dtype=np.int64)
+        seqs = [s for s, _ in instances]
+        scores = self._batch_scores(user_ids, seqs)
+        if scores is None:
+            return [
+                self.top_k_recommendations(seq, user_id=int(uid), k=k)
+                for seq, uid in instances
+            ]
+        for row, seq in zip(scores, seqs):
+            row[[int(i[0]) for i in seq]] = -np.inf
+        return np.argpartition(-scores, range(k), axis=1)[:, :k]
+
     def _compute_validation_metrics(self, metrics):
         ev = evaluation.Evaluator(self.dataset, k=10)
+        instances, goals = [], []
         for sequence, user_id in self.dataset.validation_set(epochs=1):
-            top_k = self.top_k_recommendations(
-                sequence[: len(sequence) // 2], user_id=int(user_id)
-            )
-            goal = [i[0] for i in sequence[len(sequence) // 2 :]]
-            ev.add_instance(goal, top_k)
+            half = len(sequence) // 2
+            instances.append((sequence[:half], user_id))
+            goals.append([i[0] for i in sequence[half:]])
+        for (top_k, goal) in zip(self.top_k_batch(instances), goals):
+            ev.add_instance(goal, list(top_k))
         metrics["recall"].append(ev.average_recall())
         metrics["sps"].append(ev.sps())
         metrics["ndcg"].append(ev.average_ndcg())
@@ -575,6 +617,10 @@ class BPRMF(MFBase):
         return cost, n
 
     # ------------------------------------------------------------------
+    def _batch_scores(self, user_ids, seqs):
+        V, H, bias = self._np("V"), self._np("H"), self._np("bias")
+        return bias + V[user_ids] @ H.T
+
     def top_k_recommendations(self, sequence, user_id=None, k=10, exclude=None):
         if exclude is None:
             exclude = []
@@ -701,6 +747,13 @@ class FPMC(MFBase):
             np.float32(self.learning_rate),
         )
         return cost, n
+
+    def _batch_scores(self, user_ids, seqs):
+        lasts = np.array([int(s[-1][0]) for s in seqs], dtype=np.int64)
+        return (
+            self._np("V_user_item")[user_ids] @ self._np("V_item_user").T
+            + self._np("V_prev_next")[lasts] @ self._np("V_next_prev").T
+        )
 
     def top_k_recommendations(self, sequence, user_id=None, k=10, exclude=None):
         if exclude is None:
@@ -903,6 +956,12 @@ class FISM(MFBase):
             V[user_items].sum(axis=0) @ H.T
         )
 
+    def _batch_scores(self, user_ids, seqs):
+        V, H, bias = self._np("V"), self._np("H"), self._np("bias")
+        sums, lens, _, _ = self._bag_sums(V, seqs)
+        w = np.power(lens.astype(np.float64), -self.alpha).astype(V.dtype)
+        return bias + (sums * w[:, None]) @ H.T
+
     def top_k_recommendations(self, sequence, user_id=None, k=10, exclude=None):
         if exclude is None:
             exclude = []
@@ -1063,6 +1122,22 @@ class Fossil(MFBase):
             w = (eta_bias + eta[user_id])[:effective_order]
         short_term = w @ V[user_items[: -effective_order - 1 : -1]]
         return bias + (long_term + short_term) @ H.T
+
+    def _batch_scores(self, user_ids, seqs):
+        V, H, bias = self._np("V"), self._np("H"), self._np("bias")
+        eta, eta_bias = self._np("eta"), self._np("eta_bias")
+        sums, lens, flat, ends = self._bag_sums(V, seqs)
+        long_term = sums * np.power(lens.astype(np.float64), -self.alpha).astype(
+            V.dtype
+        )[:, None]
+        # the last `min(order, len)` items, most recent first, weighted by
+        # the per-user short-term decay (fossil.py:42-56)
+        j = np.arange(self.order, dtype=np.int64)[None, :]
+        rvalid = j < np.minimum(self.order, lens)[:, None]
+        recent = flat[np.where(rvalid, ends[:, None] - 1 - j, 0)]
+        w = (eta_bias[None, :] + eta[user_ids]) * rvalid
+        short = np.einsum("bj,bjk->bk", w, V[recent])
+        return bias + (long_term + short) @ H.T
 
     def top_k_recommendations(self, sequence, user_id=None, k=10, exclude=None):
         if exclude is None:

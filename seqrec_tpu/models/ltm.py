@@ -98,11 +98,12 @@ class LTM:
         )
 
     @staticmethod
-    def _cbow_chunk(negative, syn0, syn1neg, ctx, ctx_mask, center, negs, lr):
+    def _cbow_chunk(negative, syn0, syn1neg, ctx, ctx_mask, center, negs, row_mask, lr):
         """One vectorized CBOW/negative-sampling step (gensim-equivalent).
 
         ctx: [N, C] context ids (padded; mask 0), center: [N],
-        negs: [N, S] noise ids."""
+        negs: [N, S] noise ids, row_mask: [N] (0 = padding row from the
+        fixed-size batch slicing; its updates and loss are zeroed)."""
         counts = jnp.maximum(ctx_mask.sum(-1, keepdims=True), 1.0)
         ctx_vecs = syn0[ctx] * ctx_mask[..., None]
         h = ctx_vecs.sum(axis=1) / counts  # cbow_mean=1
@@ -116,7 +117,7 @@ class LTM:
         )
         v = syn1neg[targets]  # [N, 1+S, k]
         f = jax.nn.sigmoid(jnp.einsum("nsk,nk->ns", v, h))
-        g = (labels - f) * lr  # [N, 1+S]
+        g = (labels - f) * lr * row_mask[:, None]  # [N, 1+S]
 
         # hidden-layer error propagated back to all context words
         neu1e = jnp.einsum("ns,nsk->nk", g, v)  # [N, k]
@@ -127,47 +128,80 @@ class LTM:
         syn0 = syn0.at[ctx.reshape(-1)].add(
             ctx_update.reshape(-1, h.shape[-1])
         )
-        loss = -jnp.log(jnp.clip(jnp.where(labels > 0, f, 1 - f), 1e-7, 1.0)).mean()
+        nll = -jnp.log(jnp.clip(jnp.where(labels > 0, f, 1 - f), 1e-7, 1.0))
+        denom = jnp.maximum(row_mask.sum() * nll.shape[1], 1.0)
+        loss = (nll * row_mask[:, None]).sum() / denom
         return syn0, syn1neg, loss
 
     def _epoch_positions(self):
-        """Generate (context, center) training positions for one epoch,
-        with gensim's reduced-window sampling."""
+        """All (context, center) positions of one epoch in ONE numpy pass.
+
+        The reduced-window draws (gensim's b ~ U{1..window}) are a single
+        ``rng.integers`` array per epoch and the contexts are assembled by
+        gathers from the packed store — replacing the reference-shaped
+        per-token Python loop (one RNG call + list append per token). The
+        sampling distribution is unchanged; the RNG *stream* differs from
+        the loop version (one array draw vs per-token draws).
+
+        Yields fixed-size [batch_positions] slices so the jitted CBOW step
+        compiles exactly once; the final slice is zero-padded with
+        ``row_mask`` marking real rows."""
         store = self.dataset.training_set.store
         order = self.rng.permutation(len(store))
+        lens = store.lengths[order].astype(np.int64)
+        offs = store.offsets[order].astype(np.int64)
+        total = int(lens.sum())
+        pos_off = np.repeat(offs, lens)  # flat-store offset of each position's sequence
+        pos_len = np.repeat(lens, lens)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        t = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+
+        b = self.rng.integers(1, self.window + 1, size=total)
+        lo = np.maximum(0, t - b)
+        hi = np.minimum(pos_len, t + b + 1)
         C = 2 * self.window
-        ctxs, centers = [], []
-        for row in order:
-            items, _, _ = store.sequence(row)
-            L = len(items)
-            for t in range(L):
-                b = int(self.rng.integers(1, self.window + 1))
-                lo, hi = max(0, t - b), min(L, t + b + 1)
-                ctx = np.concatenate([items[lo:t], items[t + 1 : hi]])
-                if len(ctx) == 0:
-                    continue
-                row_ctx = np.zeros(C, dtype=np.int64)
-                row_ctx[: len(ctx)] = ctx
-                row_mask = np.zeros(C, dtype=np.float32)
-                row_mask[: len(ctx)] = 1.0
-                ctxs.append((row_ctx, row_mask))
-                centers.append(items[t])
-                if len(centers) >= self.batch_positions:
-                    yield ctxs, centers
-                    ctxs, centers = [], []
-        if centers:
-            yield ctxs, centers
+        j = np.arange(C, dtype=np.int64)[None, :]
+        p = lo[:, None] + j
+        p = p + (p >= t[:, None])  # skip the center position
+        valid = p < hi[:, None]
+        ctx = np.where(
+            valid, store.items[np.where(valid, pos_off[:, None] + p, 0)], 0
+        ).astype(np.int32)
+        mask = valid.astype(np.float32)
+        center = store.items[pos_off + t].astype(np.int32)
+        keep = valid.any(axis=1)  # drop empty-context positions (length-1 seqs)
+        ctx, mask, center = ctx[keep], mask[keep], center[keep]
+
+        N = self.batch_positions
+        n_total = len(center)
+        for c0 in range(0, n_total, N):
+            m = min(N, n_total - c0)
+            if m < N:
+                pad = N - m
+                yield (
+                    np.concatenate([ctx[c0:], np.zeros((pad, C), np.int32)]),
+                    np.concatenate([mask[c0:], np.zeros((pad, C), np.float32)]),
+                    np.concatenate([center[c0:], np.zeros(pad, np.int32)]),
+                    np.concatenate(
+                        [np.ones(m, np.float32), np.zeros(pad, np.float32)]
+                    ),
+                )
+            else:
+                yield (
+                    ctx[c0 : c0 + N],
+                    mask[c0 : c0 + N],
+                    center[c0 : c0 + N],
+                    np.ones(N, np.float32),
+                )
 
     def _train_one_epoch(self, lr: float) -> float:
         losses = []
-        for ctxs, centers in self._epoch_positions():
-            ctx = np.stack([c for c, _ in ctxs])
-            ctx_mask = np.stack([m for _, m in ctxs])
-            center = np.asarray(centers, dtype=np.int64)
-            u = self.rng.random((len(centers), self.negative))
-            negs = np.searchsorted(self._noise_cdf, u, side="right")
+        for ctx, ctx_mask, center, row_mask in self._epoch_positions():
+            u = self.rng.random((len(center), self.negative))
+            negs = np.searchsorted(self._noise_cdf, u, side="right").astype(np.int32)
             self.syn0, self.syn1neg, loss = self._cbow_step(
-                self.syn0, self.syn1neg, ctx, ctx_mask, center, negs, np.float32(lr)
+                self.syn0, self.syn1neg, ctx, ctx_mask, center, negs,
+                row_mask, np.float32(lr),
             )
             losses.append(float(loss))
         return float(np.mean(losses)) if losses else 0.0
@@ -185,19 +219,29 @@ class LTM:
             )
         return features
 
+    def _query_features(self, sequence, syn0) -> np.ndarray:
+        if self.use_trajectory:
+            # nearest items to (last item + trajectory); similar_by_vector
+            # on the raw trajectory alone matches gensim usage at ltm.py:88
+            ids = np.fromiter((int(i[0]) for i in sequence), dtype=np.int64)
+            if len(ids) < 2:
+                return np.zeros(self.k, dtype=syn0.dtype)
+            # EWMA of consecutive deltas, closed form: (1-α)·Σ α^(n-1-i)·d_i
+            d = syn0[ids[1:]] - syn0[ids[:-1]]
+            wts = (1 - self.alpha) * np.power(
+                self.alpha, np.arange(len(d) - 1, -1, -1, dtype=np.float64)
+            ).astype(syn0.dtype)
+            return wts @ d
+        return np.mean(
+            [syn0[int(sequence[-i - 1][0])] for i in range(self.window // 2)],
+            axis=0,
+        )
+
     def top_k_recommendations(self, sequence, user_id=None, k=10, exclude=None):
         if exclude is None:
             exclude = []
         syn0 = np.asarray(self.syn0)
-        if self.use_trajectory:
-            # nearest items to (last item + trajectory); similar_by_vector
-            # on the raw trajectory alone matches gensim usage at ltm.py:88
-            f = self.user_features(sequence)
-        else:
-            f = np.mean(
-                [syn0[int(sequence[-i - 1][0])] for i in range(self.window // 2)],
-                axis=0,
-            )
+        f = self._query_features(sequence, syn0)
         norms = np.linalg.norm(syn0, axis=1)
         norms[norms == 0] = 1.0
         scores = (syn0 / norms[:, None]) @ f
@@ -207,6 +251,22 @@ class LTM:
         out = [int(i) for i in top if int(i) not in exclude and int(i) not in seen]
         return out[:k]
 
+    def top_k_batch(self, instances, k=10):
+        """Batched prediction: one [B,k]·[k,n] matmul against the
+        normalized embedding table for ALL queried users, instead of one
+        full-catalog pass per user (ltm.py:216-231's loop)."""
+        if not instances:
+            return []
+        syn0 = np.asarray(self.syn0)
+        seqs = [s for s, _ in instances]
+        feats = np.stack([self._query_features(s, syn0) for s in seqs])
+        norms = np.linalg.norm(syn0, axis=1)
+        norms[norms == 0] = 1.0
+        scores = feats @ (syn0 / norms[:, None]).T  # [B, n_items]
+        for row, seq in zip(scores, seqs):
+            row[[int(i[0]) for i in seq]] = -np.inf
+        return np.argpartition(-scores, range(k), axis=1)[:, :k]
+
     # ------------------------------------------------------------------
     # training loop: one iteration = one epoch (ltm.py:129)
     # ------------------------------------------------------------------
@@ -215,10 +275,13 @@ class LTM:
 
     def _compute_validation_metrics(self, metrics):
         ev = evaluation.Evaluator(self.dataset, k=10)
+        instances, goals = [], []
         for sequence, user_id in self.dataset.validation_set(epochs=1):
-            top_k = self.top_k_recommendations(sequence[: len(sequence) // 2])
-            goal = [i[0] for i in sequence[len(sequence) // 2 :]]
-            ev.add_instance(goal, top_k)
+            half = len(sequence) // 2
+            instances.append((sequence[:half], user_id))
+            goals.append([i[0] for i in sequence[half:]])
+        for top_k, goal in zip(self.top_k_batch(instances), goals):
+            ev.add_instance(goal, list(top_k))
         for m, fn in (
             ("recall", ev.average_recall),
             ("sps", ev.sps),

@@ -88,22 +88,40 @@ def run_tests(predictor, model_file, dataset, args, get_full_recommendation_list
                     raise ValueError
                 evaluator.add_instance(goal, rec.tolist())
     else:
+        viewed_list, user_ids, goals = [], [], []
         for sequence, user_id in dataset.test_set(epochs=1):
             num_viewed = int(len(sequence) / 2)
-            viewed = sequence[:num_viewed]
-            goal = [i[0] for i in sequence[num_viewed:]]
-            if args.clusters > 0:
-                recommendations, n = predictor.top_k_recommendations(
-                    viewed, user_id=user_id, k=k
-                )
-                nb_of_dp.append(n)
-            else:
-                recommendations = predictor.top_k_recommendations(
-                    viewed, user_id=user_id, k=k
-                )
-            evaluator.add_instance(goal, recommendations)
-            if len(goal) == 0:
+            viewed_list.append(sequence[:num_viewed])
+            user_ids.append(user_id)
+            goals.append([i[0] for i in sequence[num_viewed:]])
+            if len(goals[-1]) == 0:
                 raise ValueError
+        if args.clusters > 0 and hasattr(predictor, "top_k_batch_clustered"):
+            # one device pass for every user's cluster assignment, then
+            # one matmul per cluster (cluster.py:top_k_batch_clustered)
+            recs, ns = predictor.top_k_batch_clustered(viewed_list, k=k)
+            nb_of_dp.extend(ns)
+            for goal, recommendations in zip(goals, recs):
+                evaluator.add_instance(goal, recommendations)
+        elif args.clusters <= 0 and hasattr(predictor, "top_k_batch"):
+            # MF/LTM vectorized whole-matrix scoring
+            recs = predictor.top_k_batch(
+                list(zip(viewed_list, user_ids)), k=k
+            )
+            for goal, recommendations in zip(goals, recs):
+                evaluator.add_instance(goal, list(recommendations))
+        else:
+            for viewed, user_id, goal in zip(viewed_list, user_ids, goals):
+                if args.clusters > 0:
+                    recommendations, n = predictor.top_k_recommendations(
+                        viewed, user_id=user_id, k=k
+                    )
+                    nb_of_dp.append(n)
+                else:
+                    recommendations = predictor.top_k_recommendations(
+                        viewed, user_id=user_id, k=k
+                    )
+                evaluator.add_instance(goal, recommendations)
     print("Timer: ", time.perf_counter() - start)
     if len(nb_of_dp) == 0:
         evaluator.nb_of_dp = dataset.n_items

@@ -118,6 +118,45 @@ def test_scale_grows_at_every_epoch_boundary(synthetic_handler):
         store.epochs = 0.0
 
 
+def test_cluster_batched_prediction_matches_per_user(synthetic_handler):
+    """top_k_batch_clustered (group-by-cluster, one matmul per cluster)
+    must return the same recommendations AND the same items-in-cluster
+    counts as the per-user path (rnn_cluster.py:489-513)."""
+    model = _rnn_cluster(synthetic_handler)
+    model.prepare_model(synthetic_handler)
+    model.set_dataset(synthetic_handler)
+    model.params = model._init_params()
+    model._build_functions()
+    model.prepare_tests()
+
+    seqs = []
+    for sequence, _ in synthetic_handler.validation_set(epochs=1):
+        seqs.append(sequence[: len(sequence) // 2])
+    recs, ns = model.top_k_batch_clustered(seqs, k=5)
+    assert len(recs) == len(seqs)
+    for seq, brec, bn in zip(seqs, recs, ns):
+        srec, sn = model.top_k_recommendations(seq, k=5)
+        assert bn == sn
+        assert set(int(x) for x in brec) == set(int(x) for x in srec)
+
+
+def test_cluster_batched_prediction_without_clusters(synthetic_handler):
+    model = _rnn_cluster(synthetic_handler, predict_with_clusters=False)
+    model.prepare_model(synthetic_handler)
+    model.set_dataset(synthetic_handler)
+    model.params = model._init_params()
+    model._build_functions()
+    seqs = [
+        sequence[: len(sequence) // 2]
+        for sequence, _ in synthetic_handler.validation_set(epochs=1)
+    ][:8]
+    recs, ns = model.top_k_batch_clustered(seqs, k=5)
+    assert all(n == synthetic_handler.n_items for n in ns)
+    for seq, brec in zip(seqs, recs):
+        srec, _ = model.top_k_recommendations(seq, k=5)
+        assert set(int(x) for x in brec) == set(int(x) for x in srec)
+
+
 def test_fism_cluster_trains(synthetic_handler):
     model = FISMCluster(
         h=16,

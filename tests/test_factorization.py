@@ -245,6 +245,38 @@ def test_bprmf_adaptive_sampling_runs(synthetic_handler):
     assert n == 64 and 0.0 <= cost <= 1.0
 
 
+@pytest.mark.parametrize(
+    "factory",
+    [
+        lambda: BPRMF(k=8, adaptive_sampling=False, seed=0, init_sigma=0.3),
+        lambda: FPMC(k_cf=8, k_mc=8, adaptive_sampling=False, seed=0, init_sigma=0.3),
+        lambda: FISM(k=8, loss="BPR", seed=0, init_sigma=0.3),
+        lambda: Fossil(k=8, order=2, seed=0, init_sigma=0.3),
+    ],
+    ids=["bprmf", "fpmc", "fism", "fossil"],
+)
+def test_batched_validation_matches_per_user(synthetic_handler, factory):
+    """top_k_batch (one whole-matrix pass) must equal the per-user
+    top_k_recommendations on every validation user."""
+    model = factory()
+    model.prepare_model(synthetic_handler)
+    model.change_data_format(synthetic_handler)
+    model.init_model()
+    instances = []
+    for sequence, user_id in synthetic_handler.validation_set(epochs=1):
+        instances.append((sequence[: len(sequence) // 2], user_id))
+    batched = model.top_k_batch(instances, k=10)
+    assert len(batched) == len(instances)
+    for (seq, uid), brow in zip(instances, batched):
+        single = model.top_k_recommendations(seq, user_id=int(uid), k=10)
+        # identical top-k sets (scores are identical math; allow tie reorder)
+        assert set(int(x) for x in brow) == set(int(x) for x in single), (
+            uid,
+            sorted(brow),
+            sorted(single),
+        )
+
+
 def test_adaptive_sampling_distribution_parity(synthetic_handler):
     """The vectorized Rendle'14 sampler must draw from the SAME
     distribution as the reference-shaped per-sample loop (bprmf.py:73-99):

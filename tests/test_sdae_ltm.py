@@ -96,6 +96,57 @@ def test_ltm_trains_and_predicts(synthetic_handler):
     assert not (set(recs) & {1, 2, 3, 4})  # seen excluded
 
 
+def test_ltm_query_features_match_ewma_loop(synthetic_handler):
+    """Closed-form EWMA weights must equal the reference-shaped
+    step-by-step recurrence (ltm.py:62-69)."""
+    model = LTM(k=8, window=3, alpha=0.8, seed=0)
+    model.prepare_model(synthetic_handler)
+    model.set_dataset(synthetic_handler)
+    model._init_w2v()
+    rng = np.random.default_rng(1)
+    seq = [[int(i), 5.0] for i in rng.integers(0, model.n_items, size=9)]
+    loop = model.user_features(seq)
+    closed = model._query_features(seq, np.asarray(model.syn0))
+    np.testing.assert_allclose(closed, loop, rtol=1e-5, atol=1e-7)
+
+
+def test_ltm_batched_prediction_matches_per_user(synthetic_handler):
+    model = LTM(k=16, window=4, seed=0)
+    model.prepare_model(synthetic_handler)
+    model.set_dataset(synthetic_handler)
+    model._init_w2v()
+    model.syn0 = model.syn0 + 0.1 * np.random.default_rng(0).random(model.syn0.shape)
+    instances = []
+    for sequence, user_id in synthetic_handler.validation_set(epochs=1):
+        instances.append((sequence[: len(sequence) // 2], user_id))
+    batched = model.top_k_batch(instances, k=10)
+    for (seq, _), brow in zip(instances, batched):
+        single = model.top_k_recommendations(seq, k=10)
+        assert set(int(x) for x in brow) == set(int(x) for x in single)
+
+
+def test_ltm_epoch_positions_vectorized_semantics(synthetic_handler):
+    """Window invariants of the one-pass epoch builder: every context id
+    lies within `window` of the center inside the same sequence, padded
+    slots are masked, and the total position count equals the number of
+    tokens with a non-empty context."""
+    model = LTM(k=8, window=3, seed=0, batch_positions=256)
+    model.prepare_model(synthetic_handler)
+    model.set_dataset(synthetic_handler)
+    store = synthetic_handler.training_set.store
+    n_tokens = int(store.lengths.sum())
+    n_single = int((store.lengths == 1).sum())  # empty-context positions
+    seen_rows = 0
+    for ctx, mask, center, row_mask in model._epoch_positions():
+        m = int(row_mask.sum())
+        seen_rows += m
+        assert (mask[:m].sum(axis=1) >= 1).all()
+        assert (mask[row_mask == 0] == 0).all()
+        # context size never exceeds 2*window
+        assert mask.shape[1] == 2 * model.window
+    assert seen_rows == n_tokens - n_single
+
+
 def test_ltm_save_load_roundtrip(synthetic_handler, tmp_path):
     model = LTM(k=8, window=3, seed=0)
     model.prepare_model(synthetic_handler)
