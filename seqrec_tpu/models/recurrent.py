@@ -233,32 +233,52 @@ class RecurrentLayers:
         # Fused Pallas time scans on TPU. ``fast=True`` = forward-only
         # (eval/serving); ``fast="train"`` = the custom-VJP variant whose
         # backward recomputes gates and applies the Lasagne-parity
-        # hidden-cotangent clip. CPU and non-GRU shapes use the lax.scan.
+        # hidden-cotangent clip.
+        #
+        # Gating, from v5e device-trace measurements (see the tables in
+        # ops/pallas_rnn.py and ops/pallas_rnn_train.py):
+        #  - eval (fast=True): ALWAYS fused for GRU/LSTM; ragged hidden
+        #    sizes (the reference's H=50) are zero-padded to the 64-lane
+        #    boundary inside the fused path (2.6x XLA at H=50->64,
+        #    2x at H=128, 1.8x LSTM H=128);
+        #  - train: GRU only, lane-aligned H only (the pad overhead makes
+        #    padded-H training a wash, 0.95x) and B >= 64 (batch tiles
+        #    are 128-wide); the LSTM train kernel does not exist — the
+        #    XLA scan is used (measured need is low: training defaults
+        #    to GRU and the LSTM eval path IS fused);
+        #  - either: fall back to XLA when the x_pre block cannot fit
+        #    VMEM even at the minimum 128-row tile (auto_block_b None).
         if (
             fast
             and only_return_final
             and not backwards
             and self.layer_type in ("GRU", "LSTM")
             and _pallas_available()
-            # batch tiles are 128-wide and lanes want 64/128-aligned gate
-            # widths; small batches or ragged hidden sizes (e.g. the
-            # reference's H=50) are faster on the XLA scan
-            and lp["h0"].shape[0] % 64 == 0
-            and (fast != "train" or x_pre.shape[0] >= 64)
         ):
-            B = x_pre.shape[0]
+            from seqrec_tpu.ops.pallas_rnn import auto_block_b, pad_gate_sections
+
+            B, L = x_pre.shape[0], x_pre.shape[1]
             H = lp["h0"].shape[0]
-            h0 = jnp.broadcast_to(lp["h0"], (B, H))
-            if self.layer_type == "LSTM":
-                if fast == "train":
-                    pass  # LSTM training kernel not implemented; fall through
-                else:
+            Hp = -(-H // 64) * 64
+            n_gates = 4 if self.layer_type == "LSTM" else 3
+            fits = auto_block_b(B, L, n_gates * Hp) is not None
+            train_ok = (
+                fast != "train"
+                or (self.layer_type == "GRU" and H == Hp and B >= 64)
+            )
+            if fits and train_ok:
+                h0 = jnp.broadcast_to(lp["h0"], (B, H))
+                if self.layer_type == "LSTM":
                     from seqrec_tpu.ops.pallas_rnn import lstm_scan
 
                     c0 = jnp.broadcast_to(lp["c0"], (B, H))
                     peep = jnp.stack([lp["w_ci"], lp["w_cf"], lp["w_co"]])
+                    if H != Hp:
+                        x_p, w_p, peep, h0, c0 = pad_gate_sections(
+                            H, Hp, x_pre, lp["W_hid"], peep, h0, c0
+                        )
+                        return lstm_scan(x_p, mask, w_p, peep, h0, c0)[:, :H]
                     return lstm_scan(x_pre, mask, lp["W_hid"], peep, h0, c0)
-            else:
                 if fast == "train":
                     from seqrec_tpu.ops.pallas_rnn_train import gru_scan_train
 
@@ -267,6 +287,11 @@ class RecurrentLayers:
                     )
                 from seqrec_tpu.ops.pallas_rnn import gru_scan
 
+                if H != Hp:
+                    x_p, w_p, h0 = pad_gate_sections(
+                        H, Hp, x_pre, lp["W_hid"], h0
+                    )
+                    return gru_scan(x_p, mask, w_p, h0)[:, :H]
                 return gru_scan(x_pre, mask, lp["W_hid"], h0)
 
         B = x_pre.shape[0]

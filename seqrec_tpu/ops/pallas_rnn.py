@@ -9,16 +9,20 @@ This kernel keeps the hidden state, the ``W_hid`` gate matrix and one
 batch-tile of ``x_pre`` resident in VMEM for the whole sequence, so the
 only HBM traffic is the initial tile load and the final state store.
 Grid is over batch tiles; each program runs a ``fori_loop`` over time
-with one fused ``[TB,H]·[H,3H]`` MXU matmul per step. Measured on TPU
-v5e (B=256, L=30, H=128) it matches XLA's scan (~30µs) — XLA is already
-memory-bound-optimal here — and it exists to compose with the fused
-top-k eval path and to control layout at larger hidden sizes.
+with one fused ``[TB,H]·[H,3H]`` MXU matmul per step.
 
-Forward-only: training uses the XLA scan (autodiff through a Pallas
-fori_loop would need a custom VJP with stashed activations); evaluation
-and serving — where the framework spends most of its device time during
-validation sweeps — use this kernel. Equivalence with the scan path is
-asserted in tests (interpret mode on CPU).
+Measured on TPU v5e via device traces (B=256, L=30, f32, us/op,
+2026-08-20; the remote tunnel makes wall-clock timing useless, so these
+are xplane device-time sums over 20 chained invocations):
+
+  GRU fwd  H=50 (padded 64, bb=256): pallas 13.1 vs XLA 34.0 -> 2.6x
+  GRU fwd  H=128 (bb=128):           pallas 23.6 vs XLA 47.6 -> 2.0x
+  LSTM fwd H=128 (bb=128):           pallas 40.4 vs XLA 71.2 -> 1.8x
+
+Forward-only: training uses seqrec_tpu/ops/pallas_rnn_train.py (custom
+VJP) where it wins and the XLA scan elsewhere; see the gating table in
+seqrec_tpu/models/recurrent.py:_run_layer. Equivalence with the scan
+path is asserted in tests (interpret mode on CPU).
 
 Gate math parity with seqrec_tpu.models.recurrent.RecurrentLayers._gru_step
 (Lasagne GRU formulation, gate order reset|update|candidate; masked steps
@@ -33,6 +37,52 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# VMEM budget for the double-buffered x_pre block (the dominant buffer).
+# The v5e scoped-vmem limit is 16 MiB (16.78e6 B); the other blocks
+# (w, mask, h, out) need well under 1 MiB at these shapes. Empirical
+# anchors (v5e, 2026-08-20): a 15.73e6 B x block (LSTM H=128, bb=128)
+# compiles and runs; 23.59e6 B (GRU H=256, bb=128) is rejected by the
+# compiler with a scoped-vmem OOM.
+_X_VMEM_BUDGET = int(16.0e6)
+
+
+def auto_block_b(B: int, L: int, G: int) -> int | None:
+    """Largest batch tile (multiple of 128) whose [L, bb, G] x_pre block
+    double-buffers within the VMEM budget; None = does not fit at the
+    minimum tile (caller should fall back to the XLA scan).
+
+    Bigger tiles mean fewer sequential grid iterations — measured 1.7x
+    on the fused GRU at H=64 going from bb=128 to bb=256 (v5e)."""
+    for cand in (512, 384, 256, 128):
+        if cand > max(B, 128):
+            continue
+        if L * cand * G * 4 * 2 <= _X_VMEM_BUDGET:
+            return cand
+    return None
+
+
+def pad_gate_sections(H: int, Hp: int, x_pre, w_hid, *vecs):
+    """Zero-pad a ragged hidden size H up to the lane-aligned Hp in every
+    per-gate section: x_pre [B, L, n*H] -> [B, L, n*Hp], w_hid [H, n*H] ->
+    [Hp, n*Hp], and each [H]- or [..., H]-shaped vector -> Hp.
+
+    Zero pad rows/cols keep the pad lanes of the hidden state exactly 0
+    through every step (gates see 0 pre-activations; the candidate/cell
+    contributions are 0), so real lanes compute bit-identical values."""
+    B, L, G = x_pre.shape
+    n = G // H
+    pad = Hp - H
+    x_p = jnp.pad(
+        x_pre.reshape(B, L, n, H), ((0, 0), (0, 0), (0, 0), (0, pad))
+    ).reshape(B, L, n * Hp)
+    w_p = jnp.pad(
+        w_hid.reshape(H, n, H), ((0, pad), (0, 0), (0, pad))
+    ).reshape(Hp, n * Hp)
+    vecs_p = tuple(
+        jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(0, pad)]) for v in vecs
+    )
+    return (x_p, w_p) + vecs_p
 
 
 def _gru_scan_kernel(x_ref, mask_ref, w_ref, h0_ref, out_ref, *, seq_len: int):
@@ -56,7 +106,7 @@ def _gru_scan_kernel(x_ref, mask_ref, w_ref, h0_ref, out_ref, *, seq_len: int):
 
 
 @functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
-def gru_scan(x_pre, mask, w_hid, h0, *, block_b: int = 128, interpret: bool = False):
+def gru_scan(x_pre, mask, w_hid, h0, *, block_b: int | None = None, interpret: bool = False):
     """Fused GRU forward over time.
 
     x_pre: [B, L, 3H] precomputed input gate contributions (+ bias).
@@ -67,11 +117,14 @@ def gru_scan(x_pre, mask, w_hid, h0, *, block_b: int = 128, interpret: bool = Fa
 
     ``block_b`` is the batch tile and doubles as the mask lane dimension,
     so it must be a multiple of 128 (Mosaic tiling constraint); the batch
-    is padded up to a tile multiple.
+    is padded up to a tile multiple. None = auto (largest VMEM-fitting).
     """
     B, L, G = x_pre.shape
     H = h0.shape[-1]
     assert G == 3 * H, (G, H)
+    if block_b is None:
+        block_b = auto_block_b(B, L, G)
+        assert block_b is not None, f"x_pre block exceeds VMEM at {(B, L, G)}"
     pad = (-B) % block_b
     if pad:
         x_pre = jnp.pad(x_pre, ((0, pad), (0, 0), (0, 0)))
@@ -135,7 +188,7 @@ def _lstm_scan_kernel(
 
 @functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
 def lstm_scan(
-    x_pre, mask, w_hid, peepholes, h0, c0, *, block_b: int = 128, interpret: bool = False
+    x_pre, mask, w_hid, peepholes, h0, c0, *, block_b: int | None = None, interpret: bool = False
 ):
     """Fused LSTM forward over time (final hidden state [B, H]).
 
@@ -143,6 +196,9 @@ def lstm_scan(
     B, L, G = x_pre.shape
     H = h0.shape[-1]
     assert G == 4 * H, (G, H)
+    if block_b is None:
+        block_b = auto_block_b(B, L, G)
+        assert block_b is not None, f"x_pre block exceeds VMEM at {(B, L, G)}"
     pad = (-B) % block_b
     if pad:
         x_pre = jnp.pad(x_pre, ((0, pad), (0, 0), (0, 0)))

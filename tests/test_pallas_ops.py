@@ -46,6 +46,36 @@ def test_gru_scan_matches_xla():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_gru_scan_padded_ragged_h_matches_xla():
+    """The eval path pads ragged hidden sizes (the reference's H=50) to
+    the 64-lane boundary; the padded kernel must match the unpadded XLA
+    scan exactly on the real lanes and keep the pad lanes at 0."""
+    from seqrec_tpu.ops.pallas_rnn import pad_gate_sections
+
+    rng = np.random.default_rng(3)
+    B, L, H, Hp = 6, 9, 50, 64
+    x_pre = jnp.asarray(rng.normal(size=(B, L, 3 * H)).astype(np.float32))
+    lengths = rng.integers(1, L + 1, size=B)
+    mask = jnp.asarray((np.arange(L)[None, :] < lengths[:, None]).astype(np.float32))
+    w_hid = jnp.asarray(rng.normal(0, 0.1, size=(H, 3 * H)).astype(np.float32))
+    h0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32))
+
+    want = np.asarray(_xla_gru_reference(x_pre, mask, w_hid, h0))
+    x_p, w_p, h0_p = pad_gate_sections(H, Hp, x_pre, w_hid, h0)
+    got_full = np.asarray(gru_scan(x_p, mask, w_p, h0_p, block_b=8, interpret=True))
+    np.testing.assert_allclose(got_full[:, :H], want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(got_full[:, H:], 0.0)
+
+
+def test_auto_block_b():
+    from seqrec_tpu.ops.pallas_rnn import auto_block_b
+
+    assert auto_block_b(256, 30, 3 * 64) == 256  # fits the bigger tile
+    assert auto_block_b(256, 30, 3 * 128) == 128  # bb=256 would blow VMEM
+    assert auto_block_b(16, 30, 3 * 64) == 128  # minimum tile
+    assert auto_block_b(256, 30, 3 * 256) is None  # falls back to XLA
+
+
 def test_gru_scan_matches_tower():
     """Kernel output equals RecurrentLayers.apply for a 1-layer GRU."""
     rl = RecurrentLayers(layer_type="GRU", layers=[8], grad_clipping=0)
