@@ -104,17 +104,14 @@ class RNNBase:
         self.target_selection = target_selection or SelectTargets()
         self.interactions_are_unique = interactions_are_unique
         self.use_ratings_features = use_ratings_features
-        if use_movies_features or use_users_features:
-            # the reference's --mf/--uf paths require MovieLens-specific
-            # feature tables that ship as None globals and crash when
-            # enabled (rnn_base.py:26-29,546-610); fail fast instead
-            raise NotImplementedError(
-                "movie/user feature tables are not wired up (the reference "
-                "crashes on --mf/--uf too: its feature tables are None "
-                "globals, rnn_base.py:26-29); only --rf is supported"
-            )
+        # --mf/--uf: item/user side-feature one-hots folded into the
+        # sparse input ids. The reference's implementation crashes (its
+        # feature tables are None globals, rnn_base.py:26-29); here they
+        # load from the dataset's data/{movie,user}_features files
+        # (contract in seqrec_tpu/data/features.py).
         self.use_movies_features = use_movies_features
         self.use_users_features = use_users_features
+        self._feature_tables = None
         self.max_length = max_length
         self.batch_size = batch_size
         self.seed = seed
@@ -149,15 +146,34 @@ class RNNBase:
     # ------------------------------------------------------------------
     @property
     def n_feature_slots(self) -> int:
-        """Static number of feature ids per timestep (F)."""
-        return 1 + (1 if self.use_ratings_features else 0)
+        """Static number of feature ids per timestep (F). Pad slots
+        (variable-size genre multi-hots) carry id -1 and are masked
+        inside gather_sum."""
+        F = 1 + (1 if self.use_ratings_features else 0)
+        ft = self._feature_tables
+        if ft is not None:
+            F += ft.item_slots + ft.user_slots
+        return F
 
     def _n_optional_features(self) -> int:
-        # rating one-hot occupies 10 id slots (rnn_base.py:578-593); the
-        # MovieLens-specific movie/user feature tables are out of scope
-        # here exactly as they are unpopulated in the reference
-        # (rnn_base.py:26-29).
-        return 10 if self.use_ratings_features else 0
+        # rating one-hot occupies 10 id slots (rnn_base.py:578-593);
+        # movie/user one-hot widths come from the loaded tables
+        # (rnn_base.py:546-610 semantics, data/features.py contract)
+        n = 10 if self.use_ratings_features else 0
+        ft = self._feature_tables
+        if ft is not None:
+            n += ft.n_movie_feats + ft.n_user_feats
+        return n
+
+    def _feature_offsets(self):
+        """(movie_block_offset, user_block_offset) within the id space,
+        mirroring the reference's enabled-blocks-only concat order
+        ratings | movies | users (rnn_base.py:609-610)."""
+        off = self.n_items + (10 if self.use_ratings_features else 0)
+        ft = self._feature_tables
+        mf_off = off
+        uf_off = off + (ft.n_movie_feats if ft is not None else 0)
+        return mf_off, uf_off
 
     def _input_size(self) -> int:
         return self.n_items + self._n_optional_features()
@@ -169,18 +185,37 @@ class RNNBase:
             ids.append(self.n_items + max(0, min(9, bucket)))
         return ids
 
-    def _encode_sequences(self, seqs):
+    def _encode_sequences(self, seqs, user_ids=None):
         """Pack a list of [(item, rating), ...] into device-ready arrays.
 
         Returns (ids [B,L,F] int32, id_mask [B,L,F] f32 or None, mask [B,L] f32).
+        With --mf/--uf the per-item / per-user feature-id slots are
+        appended from the loaded tables (``user_ids`` required for --uf).
         """
         B, L, F = len(seqs), self.max_length, self.n_feature_slots
         ids = np.zeros((B, L, F), dtype=np.int32)
         mask = np.zeros((B, L), dtype=np.float32)
+        col = 1 + (1 if self.use_ratings_features else 0)
         for i, seq in enumerate(seqs):
             for t, (item, rating) in enumerate(seq[:L]):
-                ids[i, t] = self._feature_ids(int(item), float(rating))
+                ids[i, t, :col] = self._feature_ids(int(item), float(rating))
             mask[i, : min(len(seq), L)] = 1.0
+        ft = self._feature_tables
+        if ft is not None and (ft.item_slots or ft.user_slots):
+            mf_off, uf_off = self._feature_offsets()
+            if ft.item_slots:
+                tab = ft.item_ids[ids[:, :, 0]]  # [B, L, slots], -1 pads
+                ids[:, :, col : col + ft.item_slots] = np.where(
+                    tab >= 0, mf_off + tab, -1
+                )
+                col += ft.item_slots
+            if ft.user_slots:
+                if user_ids is None:
+                    raise ValueError("--uf encoding needs per-sequence user ids")
+                u = np.asarray([int(x) for x in user_ids], dtype=np.int64)
+                ids[:, :, col:] = (uf_off + ft.user_ids[u])[:, None, :]
+            # pad slots at invalid timesteps too (gather_sum masks them)
+            ids[:, :, 1:][mask == 0] = -1
         id_mask = None
         if F > 1:
             id_mask = np.broadcast_to(mask[:, :, None], ids.shape).astype(np.float32)
@@ -191,6 +226,14 @@ class RNNBase:
     # ------------------------------------------------------------------
     def prepare_model(self, dataset) -> None:
         """Must be called before train, load or top_k_recommendations."""
+        if (
+            self.use_movies_features or self.use_users_features
+        ) and self._feature_tables is None:
+            from seqrec_tpu.data.features import load_feature_tables
+
+            self._feature_tables = load_feature_tables(
+                dataset, self.use_movies_features, self.use_users_features
+            )
         self._prepare_networks(dataset.n_items)
 
     def _prepare_networks(self, n_items: int) -> None:  # pragma: no cover
@@ -536,7 +579,9 @@ class RNNBase:
         if exclude is None:
             exclude = []
         seq = self._input_window(sequence)
-        ids, id_mask, mask = self._encode_sequences([seq])
+        ids, id_mask, mask = self._encode_sequences(
+            [seq], user_ids=None if user_id is None else [user_id]
+        )
         scores = np.array(
             self._score_jit(self._device_params(), ids, id_mask, mask)[0]
         )
@@ -632,11 +677,26 @@ class RNNBase:
             flat = np.where(valid, flat, 0)
             ids = np.zeros((B, L, F), dtype=np.int32)
             ids[:, :, 0] = np.where(valid, store.items[flat], 0)
-            if F > 1:
+            col = 1
+            if self.use_ratings_features:
                 buckets = np.clip(
                     np.round(store.ratings[flat] * 2) - 1, 0, 9
                 ).astype(np.int32)
-                ids[:, :, 1] = np.where(valid, self.n_items + buckets, 0)
+                ids[:, :, col] = np.where(valid, self.n_items + buckets, 0)
+                col += 1
+            ft = self._feature_tables
+            if ft is not None and (ft.item_slots or ft.user_slots):
+                mf_off, uf_off = self._feature_offsets()
+                if ft.item_slots:
+                    tab = ft.item_ids[ids[:, :, 0]]
+                    ids[:, :, col : col + ft.item_slots] = np.where(
+                        tab >= 0, mf_off + tab, -1
+                    )
+                    col += ft.item_slots
+                if ft.user_slots:
+                    u = store.user_ids[sel_rows].astype(np.int64)
+                    ids[:, :, col:] = (uf_off + ft.user_ids[u])[:, None, :]
+                ids[:, :, 1:][~valid] = -1
             mask = valid.astype(np.float32)
             targets = store.items[offs + sel_cuts].astype(np.int32)
             target_ratings = store.ratings[offs + sel_cuts]
@@ -697,10 +757,20 @@ class RNNBase:
             "offsets": store.offsets.astype(np.int32),
             "pop_db": np.asarray(self._make_pop_db(), dtype=np.float32),
         }
-        if self.n_feature_slots > 1:
+        if self.use_ratings_features:
             host["rating_buckets"] = np.clip(
                 np.round(store.ratings * 2) - 1, 0, 9
             ).astype(np.int32)
+        ft = self._feature_tables
+        if ft is not None and ft.item_slots:
+            mf_off, _ = self._feature_offsets()
+            host["mf_table"] = np.where(
+                ft.item_ids >= 0, mf_off + ft.item_ids, -1
+            ).astype(np.int32)
+        if ft is not None and ft.user_slots:
+            _, uf_off = self._feature_offsets()
+            host["uf_table"] = (uf_off + ft.user_ids).astype(np.int32)
+            host["row_user"] = store.user_ids.astype(np.int32)
         return host
 
     def _upload_index_store(self, training_set, sharding=None) -> dict:
@@ -746,13 +816,23 @@ class RNNBase:
         valid = t[None, :] < m[:, None]
         flat = jnp.where(valid, offs[:, None] + starts[:, None] + t[None, :], 0)
         item_ids = jnp.where(valid, store["items"][flat], 0)
-        if self.n_feature_slots > 1:
-            rating_ids = jnp.where(
-                valid, self.n_items + store["rating_buckets"][flat], 0
+        cols = [item_ids[..., None]]
+        if self.use_ratings_features:
+            cols.append(
+                jnp.where(valid, self.n_items + store["rating_buckets"][flat], 0)[
+                    ..., None
+                ]
             )
-            ids = jnp.stack([item_ids, rating_ids], axis=-1)
-        else:
-            ids = item_ids[..., None]
+        if "mf_table" in store:
+            cols.append(
+                jnp.where(valid[..., None], store["mf_table"][item_ids], -1)
+            )
+        if "uf_table" in store:
+            u_feats = store["uf_table"][store["row_user"][rows]]  # [B, 3]
+            cols.append(
+                jnp.where(valid[..., None], u_feats[:, None, :], -1)
+            )
+        ids = jnp.concatenate(cols, axis=-1) if len(cols) > 1 else cols[0]
         mask = valid.astype(jnp.float32)
         targets = store["items"][offs + cuts]
         out = {
@@ -951,7 +1031,7 @@ class RNNBase:
             goal = [i[0] for i in sequence[l:]]
             yield sequence[start:l], goal, user_id
 
-    def _batched_recommendations(self, inputs, k: int = 10):
+    def _batched_recommendations(self, inputs, k: int = 10, user_ids=None):
         """Top-k for a list of input sequences, chunked on device.
 
         All chunks are dispatched before any result is fetched: over a
@@ -959,9 +1039,11 @@ class RNNBase:
         the pipeline hides (n_chunks - 1) of them. Inputs travel as the
         compact wire format (ids + prefix lengths; masks and the
         seen-item set are rebuilt on device)."""
-        return self._topk_from_staged(self._stage_eval_inputs(inputs), k)
+        return self._topk_from_staged(
+            self._stage_eval_inputs(inputs, user_ids=user_ids), k
+        )
 
-    def _stage_eval_inputs(self, inputs) -> list:
+    def _stage_eval_inputs(self, inputs, user_ids=None) -> list:
         """Encode + start the host->device upload of eval input chunks;
         returns [(n_real_rows, (ids_dev, lengths_dev)), ...]."""
         import jax
@@ -981,7 +1063,11 @@ class RNNBase:
             batch = inputs[c0 : c0 + chunk]
             pad = chunk - len(batch)
             batch_p = batch + [batch[-1]] * pad
-            ids, _, mask = self._encode_sequences(batch_p)
+            users_p = None
+            if user_ids is not None:
+                users = list(user_ids[c0 : c0 + chunk])
+                users_p = users + [users[-1]] * pad
+            ids, _, mask = self._encode_sequences(batch_p, user_ids=users_p)
             lengths = mask.sum(axis=1).astype(np.int32)
             if self._input_size() + 1 < np.iinfo(np.int16).max:
                 ids = ids.astype(np.int16)
@@ -1018,7 +1104,10 @@ class RNNBase:
                 self._iter_test_instances(self.dataset.validation_set(epochs=1))
             )
             staged = (
-                self._stage_eval_inputs([seq for seq, _, _ in instances])
+                self._stage_eval_inputs(
+                    [seq for seq, _, _ in instances],
+                    user_ids=[u for _, _, u in instances],
+                )
                 if instances
                 else []
             )

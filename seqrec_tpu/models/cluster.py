@@ -339,7 +339,9 @@ class RNNCluster(RNNBase):
         }
 
     def _prepare_input(self, sequences):
-        ids, id_mask, mask = self._encode_sequences([s[1] for s in sequences])
+        ids, id_mask, mask = self._encode_sequences(
+            [s[1] for s in sequences], user_ids=[s[0] for s in sequences]
+        )
         targets = np.array([s[2][0][0] for s in sequences], dtype=np.int32)
         samples, cluster_samples = self._draw_sample_sets()
         self._update_scale()
@@ -379,8 +381,11 @@ class RNNCluster(RNNBase):
         for c0 in range(0, len(instances), chunk):
             part = instances[c0 : c0 + chunk]
             seqs = [seq for seq, _, _ in part]
+            users = [u for _, _, u in part]
             pad = chunk - len(part)
-            ids, id_mask, mask = self._encode_sequences(seqs + [seqs[-1]] * pad)
+            ids, id_mask, mask = self._encode_sequences(
+                seqs + [seqs[-1]] * pad, user_ids=users + [users[-1]] * pad
+            )
             probs, c_sel, hard = self._cluster_eval_jit(
                 self.params, ids, id_mask, mask
             )
@@ -467,17 +472,19 @@ class RNNCluster(RNNBase):
 
         self._rep_jit = jax.jit(rep_fn)
 
-    def _predict_representation(self, sequence):
+    def _predict_representation(self, sequence, user_id=None):
         seq = sequence[-min(self.max_length, len(sequence)) :] if np.isfinite(
             self.max_length
         ) else sequence
-        ids, id_mask, mask = self._encode_sequences([seq])
+        ids, id_mask, mask = self._encode_sequences(
+            [seq], user_ids=None if user_id is None else [user_id]
+        )
         if not hasattr(self, "_rep_jit"):
             self._build_rep_jit()
         h, c = self._rep_jit(self.params, ids, id_mask, mask)
         return np.asarray(h)[0], int(np.asarray(c)[0])
 
-    def _batch_representations(self, seqs):
+    def _batch_representations(self, seqs, user_ids=None):
         """(h [B,H], argmax cluster [B]) for a list of input sequences:
         chunked device passes instead of one call per user."""
         if not hasattr(self, "_rep_jit"):
@@ -487,16 +494,20 @@ class RNNCluster(RNNBase):
         for c0 in range(0, len(seqs), chunk):
             part = seqs[c0 : c0 + chunk]
             enc = part + [part[-1]] * (chunk - len(part))
+            users_p = None
+            if user_ids is not None:
+                users = list(user_ids[c0 : c0 + chunk])
+                users_p = users + [users[-1]] * (chunk - len(part))
             if np.isfinite(self.max_length):
                 L = int(self.max_length)
                 enc = [s[-min(L, len(s)) :] for s in enc]
-            ids, id_mask, mask = self._encode_sequences(enc)
+            ids, id_mask, mask = self._encode_sequences(enc, user_ids=users_p)
             h, c = self._rep_jit(self.params, ids, id_mask, mask)
             hs.append(np.asarray(h)[: len(part)])
             cs.append(np.asarray(c)[: len(part)])
         return np.concatenate(hs), np.concatenate(cs)
 
-    def top_k_batch_clustered(self, seqs, k=10):
+    def top_k_batch_clustered(self, seqs, k=10, user_ids=None):
         """Batched test-time prediction (replaces the per-user loop the
         reference uses at test.py:61-76 / rnn_cluster.py:489-513): one
         chunked device pass yields every user's representation + argmax
@@ -506,7 +517,7 @@ class RNNCluster(RNNBase):
         the ASSR datapoints)."""
         if not seqs:
             return [], []
-        h, c = self._batch_representations(seqs)
+        h, c = self._batch_representations(seqs, user_ids=user_ids)
         B = len(seqs)
         if not self.predict_with_clusters:
             w_out = np.asarray(self.params["W_out"])
@@ -549,7 +560,7 @@ class RNNCluster(RNNBase):
         )
         should_exclude.extend(exclude)
 
-        u, c = self._predict_representation(sequence)
+        u, c = self._predict_representation(sequence, user_id=user_id)
         if self.predict_with_clusters:
             if not hasattr(self, "clusters"):
                 self.prepare_tests()
@@ -682,7 +693,7 @@ class FISMCluster(RNNCluster):
         return 0.0
 
     # FISM input is the bag, not a timestep tensor --------------------
-    def _encode_sequences(self, seqs):
+    def _encode_sequences(self, seqs, user_ids=None):
         pad = _bucket(max(1, max(len(s) for s in seqs)))
         B = len(seqs)
         ids = np.zeros((B, pad), dtype=np.int32)
@@ -722,7 +733,7 @@ class FISMCluster(RNNCluster):
         )
         return probs, c_sel, self._hard_clusters(params["cluster_repartition"])
 
-    def _predict_representation(self, sequence):
+    def _predict_representation(self, sequence, user_id=None):
         ids, _, mask = self._encode_sequences([sequence])
         if not hasattr(self, "_rep_jit"):
             self._build_rep_jit()

@@ -159,7 +159,9 @@ class RNNMargin(RNNBase):
 
     # ------------------------------------------------------------------
     def _prepare_input(self, sequences):
-        ids, id_mask, mask = self._encode_sequences([s[1] for s in sequences])
+        ids, id_mask, mask = self._encode_sequences(
+            [s[1] for s in sequences], user_ids=[s[0] for s in sequences]
+        )
         B = len(sequences)
         T = max(1, self.target_selection.n_targets)
         target_ids = np.full((B, T), self.n_items, dtype=np.int32)

@@ -97,7 +97,9 @@ class RNNOneHot(RNNBase):
     def _prepare_input(self, sequences):
         """sequences: list of [user_id, input_sequence, targets]
         (rnn_one_hot.py:83-106, minus the dense one-hot assembly)."""
-        ids, id_mask, mask = self._encode_sequences([s[1] for s in sequences])
+        ids, id_mask, mask = self._encode_sequences(
+            [s[1] for s in sequences], user_ids=[s[0] for s in sequences]
+        )
         targets = np.array(
             [s[2][0][0] for s in sequences], dtype=np.int32
         )  # first and only target

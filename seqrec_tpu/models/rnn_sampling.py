@@ -143,7 +143,9 @@ class RNNSampling(RNNBase):
         return {"samples": samples if k > 1 else samples[0]}
 
     def _prepare_input(self, sequences):
-        ids, id_mask, mask = self._encode_sequences([s[1] for s in sequences])
+        ids, id_mask, mask = self._encode_sequences(
+            [s[1] for s in sequences], user_ids=[s[0] for s in sequences]
+        )
         targets = np.array([s[2][0][0] for s in sequences], dtype=np.int32)
         pop = (
             self.dataset.item_popularity[targets] ** self.diversity_bias

@@ -162,7 +162,7 @@ class StackedDenoisingAutoencoder(RNNBase):
     # the staged batched eval (base._stage_eval_inputs) and the single-user
     # predict path; ids keep a trailing feature axis so the shared compact
     # wire (base.topk_wire_fn) can rebuild masks/seen-ids unchanged.
-    def _encode_sequences(self, seqs):
+    def _encode_sequences(self, seqs, user_ids=None):
         pad = _bucket(max(1, max(len(s) for s in seqs)))
         items = [[int(x[0]) for x in s] for s in seqs]
         ids, mask = self._encode_bag(items, pad)

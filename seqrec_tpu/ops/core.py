@@ -61,12 +61,17 @@ def gather_sum(table: jax.Array, ids: jax.Array, id_mask: jax.Array | None = Non
     Parameters
     ----------
     table: [n_rows, D]
-    ids:   int32 [..., F] row indices (padding ids must be valid indices).
+    ids:   int32 [..., F] row indices. Negative ids are PAD SLOTS: they
+           contribute 0 and receive no gradient (variable-size multi-hot
+           feature sets — e.g. the --mf genre flags — pack into static F
+           slots with -1 pads).
     id_mask: optional float [..., F]; padding entries contribute 0.
 
     Returns [..., D].
     """
-    rows = jnp.take(table, ids, axis=0)  # [..., F, D]
+    rows = jnp.take(table, jnp.maximum(ids, 0), axis=0)  # [..., F, D]
+    pad_mask = (ids >= 0).astype(rows.dtype)
+    rows = rows * pad_mask[..., None]
     if id_mask is not None:
         rows = rows * id_mask[..., None]
     return rows.sum(axis=-2)

@@ -76,7 +76,13 @@ def run_tests(predictor, model_file, dataset, args, get_full_recommendation_list
                 predictor._iter_test_instances(dataset.test_set(epochs=1))
             )
             inputs = [seq for seq, _, _ in instances]
-            staged = predictor._stage_eval_inputs(inputs) if inputs else []
+            staged = (
+                predictor._stage_eval_inputs(
+                    inputs, user_ids=[u for _, _, u in instances]
+                )
+                if inputs
+                else []
+            )
             if cacheable:
                 predictor._test_stage_cache = (dataset, instances, staged)
         else:
@@ -99,7 +105,9 @@ def run_tests(predictor, model_file, dataset, args, get_full_recommendation_list
         if args.clusters > 0 and hasattr(predictor, "top_k_batch_clustered"):
             # one device pass for every user's cluster assignment, then
             # one matmul per cluster (cluster.py:top_k_batch_clustered)
-            recs, ns = predictor.top_k_batch_clustered(viewed_list, k=k)
+            recs, ns = predictor.top_k_batch_clustered(
+                viewed_list, k=k, user_ids=user_ids
+            )
             nb_of_dp.extend(ns)
             for goal, recommendations in zip(goals, recs):
                 evaluator.add_instance(goal, recommendations)
