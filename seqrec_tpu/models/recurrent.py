@@ -261,11 +261,16 @@ class RecurrentLayers:
             H = lp["h0"].shape[0]
             Hp = -(-H // 64) * 64
             n_gates = 4 if self.layer_type == "LSTM" else 3
-            fits = auto_block_b(B, L, n_gates * Hp) is not None
-            train_ok = (
-                fast != "train"
-                or (self.layer_type == "GRU" and H == Hp and B >= 64)
-            )
+            if fast == "train":
+                # the train kernel streams time in chunks, so its VMEM
+                # gate is the backward footprint, not the full-L block
+                from seqrec_tpu.ops.pallas_rnn_train import train_block_b
+
+                fits = train_block_b(B, Hp, n_gates * Hp) is not None
+                train_ok = self.layer_type == "GRU" and H == Hp and B >= 64
+            else:
+                fits = auto_block_b(B, L, n_gates * Hp) is not None
+                train_ok = True
             if fits and train_ok:
                 h0 = jnp.broadcast_to(lp["h0"], (B, H))
                 if self.layer_type == "LSTM":

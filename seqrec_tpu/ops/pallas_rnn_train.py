@@ -44,6 +44,23 @@ from jax.experimental.pallas import tpu as pltpu
 TIME_CHUNK = 8
 
 
+def train_block_b(B: int, H: int, G: int) -> int | None:
+    """Largest batch tile whose BACKWARD-kernel VMEM footprint fits:
+    grid-varying blocks (x [chunk,bb,G], hs [chunk,bb,H], dx [chunk,bb,G])
+    double-buffer; w/dw/dw_acc are fixed. None = use the XLA scan.
+    Empirical anchors (v5e): H=192/bb=128 compiles (12.3e6 B),
+    H=256/bb=128 is rejected (17.1e6 B); H=128/bb=256 compiles (15.3e6 B)
+    and measured 1.44x the XLA scan."""
+    fixed = 3 * H * G * 4  # w + dw + dw_acc
+    for cand in (512, 384, 256, 128):
+        if cand > max(B, 128):
+            continue
+        variable = TIME_CHUNK * cand * (2 * G + H) * 4 * 2
+        if variable + fixed <= 15.5e6:
+            return cand
+    return None
+
+
 def _fwd_kernel(
     x_ref, mask_ref, w_ref, h0_ref, out_ref, hs_ref, h_carry, *, chunk: int, n_chunks: int
 ):
@@ -168,10 +185,8 @@ def _gru_train_fwd(x_pre, mask, w_hid, h0, grad_clip, block_b, interpret):
     B, L, G = x_pre.shape
     H = h0.shape[-1]
     if block_b is None:
-        from seqrec_tpu.ops.pallas_rnn import auto_block_b
-
-        block_b = auto_block_b(B, L, G)
-        assert block_b is not None, f"x_pre block exceeds VMEM at {(B, L, G)}"
+        block_b = train_block_b(B, H, G)
+        assert block_b is not None, f"train blocks exceed VMEM at {(B, L, G)}"
     pad_b = (-B) % block_b
     if pad_b:
         x_pre = jnp.pad(x_pre, ((0, pad_b), (0, 0), (0, 0)))
@@ -217,9 +232,7 @@ def _gru_train_bwd(grad_clip, block_b, interpret, res, dh):
     Lp, _, G = x_t.shape
     H = w_hid.shape[0]
     if block_b is None:  # same deterministic choice the forward made
-        from seqrec_tpu.ops.pallas_rnn import auto_block_b
-
-        block_b = auto_block_b(B, L_orig, G)
+        block_b = train_block_b(B, H, G)
     n_chunks = Lp // TIME_CHUNK
     if Bp != B:
         dh = jnp.pad(dh, ((0, Bp - B), (0, 0)))
