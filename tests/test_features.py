@@ -189,6 +189,25 @@ def test_featured_index_wire_matches_host_encoding(featured_dataset):
     np.testing.assert_array_equal(dev_ids[m], host_ids[m])
 
 
+def test_featured_model_trains_on_mesh(featured_dataset):
+    """--mf/--uf combined with --mesh: feature tables replicate with the
+    store; the sharded index-wire loop must run end-to-end."""
+    import jax
+
+    from seqrec_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(n_data=4, n_model=2, devices=jax.devices()[:8])
+    model = _featured_model(featured_dataset)
+    model.set_mesh(mesh)
+    model.steps_per_dispatch = 2
+    res, _, _ = model.train(
+        featured_dataset, max_iter=8, progress=8, autosave="None"
+    )
+    assert res["sps"] is not None and np.isfinite(res["recall"])
+
+
 def test_missing_feature_file_raises(synthetic_handler, tmp_path):
     from seqrec_tpu.data.synthetic import make_dataset
     from seqrec_tpu.data import DataHandler

@@ -125,6 +125,31 @@ def test_sharded_topk_matches_dense(devices):
         )
 
 
+def test_mesh_training_slow_path(synthetic_handler, devices):
+    """Mesh training through the NON-fast batching path (sequence noise
+    forces the reference-shaped generator + _shard_batch_gen): the loop
+    must run sharded end-to-end and reach a checkpoint."""
+    from seqrec_tpu.data.noise import SequenceNoise
+    from seqrec_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_data=4, n_model=2, devices=devices)
+    model = RNNOneHot(
+        recurrent_layer=RecurrentLayers(layer_type="GRU", layers=[16]),
+        updater=Adam(0.01),
+        max_length=12,
+        batch_size=8,
+        seed=0,
+        sequence_noise=SequenceNoise(dropout=0.2),
+    )
+    model.prepare_model(synthetic_handler)
+    assert not model._fast_batching_ok()  # noise => slow path
+    model.set_mesh(mesh)
+    res, _, _ = model.train(
+        synthetic_handler, max_iter=8, progress=8, autosave="None"
+    )
+    assert res["sps"] is not None and np.isfinite(res["recall"])
+
+
 def test_sharded_index_wire_matches_single_device(synthetic_handler, devices):
     """The fused index-wire dispatch under GSPMD (replicated store,
     data-sharded rows/cuts) must match the single-device dispatch."""
