@@ -129,7 +129,6 @@ def load_feature_tables(dataset, use_movies: bool, use_users: bool) -> FeatureTa
         item_ids[:, 2] = 8 + G + 10 + (pop_bucket - 1)
         if Gmax:
             items_r, cols = np.nonzero(genres)
-            slot = np.zeros(len(items_r), dtype=np.int64)
             # running slot index per item (nonzero returns row-major order)
             first = np.ones(len(items_r), dtype=bool)
             first[1:] = items_r[1:] != items_r[:-1]

@@ -262,22 +262,44 @@ class RecurrentLayers:
             Hp = -(-H // 64) * 64
             n_gates = 4 if self.layer_type == "LSTM" else 3
             if fast == "train":
-                # the train kernel streams time in chunks, so its VMEM
+                # the train kernels stream time in chunks, so their VMEM
                 # gate is the backward footprint, not the full-L block
-                from seqrec_tpu.ops.pallas_rnn_train import train_block_b
+                if self.layer_type == "GRU":
+                    from seqrec_tpu.ops.pallas_rnn_train import train_block_b
 
-                fits = train_block_b(B, Hp, n_gates * Hp) is not None
-                train_ok = self.layer_type == "GRU" and H == Hp and B >= 64
+                    fits = train_block_b(B, Hp, n_gates * Hp) is not None
+                    # measured win region (v5e device traces, us/grad):
+                    # H=128: 1.44x at B=256, 1.22x e2e at B=1024;
+                    # H=64: 1.43x at B=256 but 0.74x at B=1024
+                    wins = Hp >= 128 or B <= 256
+                else:
+                    from seqrec_tpu.ops.pallas_lstm_train import lstm_train_block_b
+
+                    fits = lstm_train_block_b(B, Hp, n_gates * Hp) is not None
+                    # measured: 1.37x (B=256) / 1.59x (B=1024) at H=128;
+                    # 0.72x at H=64 — small hidden sizes stay on XLA
+                    wins = Hp >= 128
+                train_ok = H == Hp and B >= 64 and wins
             else:
                 fits = auto_block_b(B, L, n_gates * Hp) is not None
                 train_ok = True
             if fits and train_ok:
                 h0 = jnp.broadcast_to(lp["h0"], (B, H))
                 if self.layer_type == "LSTM":
-                    from seqrec_tpu.ops.pallas_rnn import lstm_scan
-
                     c0 = jnp.broadcast_to(lp["c0"], (B, H))
                     peep = jnp.stack([lp["w_ci"], lp["w_cf"], lp["w_co"]])
+                    if fast == "train":
+                        from seqrec_tpu.ops.pallas_lstm_train import lstm_scan_train
+
+                        # NB: the cell clips x+h·W jointly (_lstm_step),
+                        # and x_pre was already clipped above — matching
+                        # the XLA path, the kernel clip covers the rest
+                        return lstm_scan_train(
+                            x_pre, mask, lp["W_hid"], peep, h0, c0,
+                            float(self.grad_clip),
+                        )
+                    from seqrec_tpu.ops.pallas_rnn import lstm_scan
+
                     if H != Hp:
                         x_p, w_p, peep, h0, c0 = pad_gate_sections(
                             H, Hp, x_pre, lp["W_hid"], peep, h0, c0

@@ -52,7 +52,10 @@ def train_block_b(B: int, H: int, G: int) -> int | None:
     H=256/bb=128 is rejected (17.1e6 B); H=128/bb=256 compiles (15.3e6 B)
     and measured 1.44x the XLA scan."""
     fixed = 3 * H * G * 4  # w + dw + dw_acc
-    for cand in (512, 384, 256, 128):
+    # capped at 256: bb=512 at H=64 compiles to 20.8e6 B of scoped vmem
+    # (the footprint model under-counts ~40% at large tiles) and is
+    # rejected by the compiler; every (bb<=256, fitting) anchor compiles
+    for cand in (256, 128):
         if cand > max(B, 128):
             continue
         variable = TIME_CHUNK * cand * (2 * G + H) * 4 * 2

@@ -67,6 +67,67 @@ def test_gru_scan_padded_ragged_h_matches_xla():
     np.testing.assert_array_equal(got_full[:, H:], 0.0)
 
 
+def _xla_lstm_reference(x_pre, mask, w, peep, h0, c0, clip=0.0):
+    from seqrec_tpu.ops.core import grad_clip as gclip
+
+    H = h0.shape[-1]
+    xs = (jnp.swapaxes(x_pre, 0, 1), jnp.swapaxes(mask, 0, 1)[..., None])
+
+    def step(carry, inp):
+        h, c = carry
+        x_t, m = inp
+        pre = x_t + jnp.dot(h, w, preferred_element_type=jnp.float32)
+        if clip:
+            pre = gclip(pre, clip)
+        i = jax.nn.sigmoid(pre[:, :H] + c * peep[0])
+        f = jax.nn.sigmoid(pre[:, H : 2 * H] + c * peep[1])
+        g = jnp.tanh(pre[:, 2 * H : 3 * H])
+        c_new = f * c + i * g
+        o = jax.nn.sigmoid(pre[:, 3 * H :] + c_new * peep[2])
+        keep = m > 0
+        return (
+            jnp.where(keep, o * jnp.tanh(c_new), h),
+            jnp.where(keep, c_new, c),
+        ), None
+
+    return jax.lax.scan(step, (h0, c0), xs)[0][0]
+
+
+@pytest.mark.parametrize("clip", [0.0, 0.1])
+def test_lstm_scan_train_grads_match_xla(clip):
+    """LSTM custom-VJP kernel: forward AND all five gradients (dx, dW,
+    dpeepholes, dh0, dc0) vs jax.grad of the XLA reference, incl. the
+    Lasagne clip semantics (peephole grads branch off before the clip)."""
+    from seqrec_tpu.ops.pallas_lstm_train import lstm_scan_train
+
+    rng = np.random.default_rng(0)
+    B, L, H = 6, 11, 16
+    x = jnp.asarray(rng.normal(size=(B, L, 4 * H)).astype(np.float32))
+    lengths = rng.integers(1, L + 1, size=B)
+    mask = jnp.asarray((np.arange(L)[None] < lengths[:, None]).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(H, 4 * H)).astype(np.float32) * 0.2)
+    peep = jnp.asarray(rng.normal(size=(3, H)).astype(np.float32) * 0.2)
+    h0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32) * 0.3)
+    c0 = jnp.asarray(rng.normal(size=(B, H)).astype(np.float32) * 0.3)
+
+    want = _xla_lstm_reference(x, mask, w, peep, h0, c0, clip)
+    got = lstm_scan_train(x, mask, w, peep, h0, c0, clip, 8, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+    def loss_p(x_, w_, p_, h_, c_):
+        return jnp.sum(lstm_scan_train(x_, mask, w_, p_, h_, c_, clip, 8, True) ** 2)
+
+    def loss_x(x_, w_, p_, h_, c_):
+        return jnp.sum(_xla_lstm_reference(x_, mask, w_, p_, h_, c_, clip) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2, 3, 4))(x, w, peep, h0, c0)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2, 3, 4))(x, w, peep, h0, c0)
+    for a, b, name in zip(gp, gx, ("dx", "dw", "dpeep", "dh0", "dc0")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5, err_msg=name
+        )
+
+
 def test_auto_block_b():
     from seqrec_tpu.ops.pallas_rnn import auto_block_b
 

@@ -100,6 +100,20 @@ g_p = jax.grad(lambda ww: jnp.sum(gru_scan_train(x, m, ww, h0, 100.0) ** 2))(w)
 np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=1e-3, atol=1e-3)
 print("gru train grad H=128: OK")
 
+# --- LSTM train grads at H=128 ---
+from seqrec_tpu.ops.pallas_lstm_train import lstm_scan_train
+
+wl4 = jnp.asarray(rng.normal(size=(H, 4 * H)).astype(np.float32) * 0.1)
+xl4 = jnp.asarray(rng.normal(size=(B, L, 4 * H)).astype(np.float32))
+peep4 = jnp.asarray(rng.normal(size=(3, H)).astype(np.float32) * 0.1)
+c04 = jnp.zeros((B, H), jnp.float32)
+g_x = jax.grad(lambda ww: jnp.sum(xla_lstm(xl4, m, ww, peep4, h0, c04) ** 2))(wl4)
+g_p = jax.grad(
+    lambda ww: jnp.sum(lstm_scan_train(xl4, m, ww, peep4, h0, c04, 0.0) ** 2)
+)(wl4)
+np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), rtol=2e-3, atol=2e-3)
+print("lstm train grad H=128: OK")
+
 # --- LSTM forward at H=128 ---
 wl = jnp.asarray(rng.normal(size=(H, 4 * H)).astype(np.float32) * 0.1)
 xl = jnp.asarray(rng.normal(size=(B, L, 4 * H)).astype(np.float32))
