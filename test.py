@@ -215,6 +215,13 @@ def test_command_parser(parser):
         help="Save the full goal/prediction rank comparison.",
         action="store_true",
     )
+    parser.add_argument(
+        "--mesh",
+        help='Shard batched evaluation over a ("data","model") device mesh '
+        '("DATA,MODEL" or "auto"); same semantics as train.py --mesh.',
+        default="",
+        type=str,
+    )
 
 
 def main(argv=None):
@@ -225,9 +232,21 @@ def main(argv=None):
     if args.number_of_batches == -1:
         args.number_of_batches = "*"
 
+    mesh = None
+    if args.mesh:
+        from train import make_cli_mesh
+
+        mesh = make_cli_mesh(args.mesh)
     dataset = DataHandler(dirname=args.dataset)
     predictor = parse.get_predictor(args)
     predictor.prepare_model(dataset)
+    if mesh is not None:
+        if not hasattr(predictor, "set_mesh"):
+            raise ValueError(
+                f"--mesh is supported for the RNN/SDAE/cluster families; "
+                f"{predictor.name!r} evaluates single-device"
+            )
+        predictor.set_mesh(mesh)
     file = find_models(predictor, dataset, args)
 
     if args.number_of_batches == "*" and args.method not in ("UKNN", "MM", "POP"):

@@ -119,6 +119,27 @@ def test_train_cli_mesh_matches_single_device(synthetic_dataset):
     )
 
 
+def test_test_cli_mesh_matches_single_device(synthetic_dataset, capsys):
+    """test.py --mesh must report the same metrics as single-device eval
+    (it reuses the mesh_a/ checkpoints from the training parity test)."""
+    import test as test_cli
+
+    common = [
+        "-d", str(synthetic_dataset), "-m", "RNN", "--loss", "CCE",
+        "--r_t", "GRU", "--r_l", "8", "--max_length", "10", "-b", "8",
+        "--u_l", "0.01", "--dir", "mesh_a/", "--metrics", "sps,recall",
+    ]
+    test_cli.main(common)
+    out_single = [
+        l for l in capsys.readouterr().out.splitlines() if "sps@10" in l
+    ]
+    test_cli.main(common + ["--mesh", "4,2"])
+    out_mesh = [
+        l for l in capsys.readouterr().out.splitlines() if "sps@10" in l
+    ]
+    assert out_single and out_single == out_mesh
+
+
 def test_train_cli_mesh_rejects_unsupported_model(synthetic_dataset):
     import train as train_cli
 
