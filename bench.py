@@ -294,7 +294,9 @@ def main():
             )
 
     peak_flops = 197e12 / 2  # v5e bf16 peak halved for f32
-    mfu = (value * flops_per_sequence()) / peak_flops * 100.0
+    # MFU from the device-only trace rate when available (the e2e
+    # wall-clock rate carries tunnel variance); fall back to e2e
+    mfu = ((dev_only or value) * flops_per_sequence()) / peak_flops * 100.0
 
     print(
         json.dumps(

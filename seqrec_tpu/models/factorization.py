@@ -952,6 +952,8 @@ class FISM(MFBase):
 
     def item_score(self, user_items):
         V, H, bias = self._np("V"), self._np("H"), self._np("bias")
+        if not user_items:  # empty bag: 0^-alpha guard, score = bias
+            return bias.copy()
         return bias + np.power(len(user_items), -self.alpha) * (
             V[user_items].sum(axis=0) @ H.T
         )
@@ -959,7 +961,12 @@ class FISM(MFBase):
     def _batch_scores(self, user_ids, seqs):
         V, H, bias = self._np("V"), self._np("H"), self._np("bias")
         sums, lens, _, _ = self._bag_sums(V, seqs)
-        w = np.power(lens.astype(np.float64), -self.alpha).astype(V.dtype)
+        # empty bags (length-1 validation sequences yield an empty first
+        # half): 0^-alpha = inf would turn the zero sums row into NaNs —
+        # clamp to 1 so the row scores as plain `bias`
+        w = np.power(np.maximum(lens, 1).astype(np.float64), -self.alpha).astype(
+            V.dtype
+        )
         return bias + (sums * w[:, None]) @ H.T
 
     def top_k_recommendations(self, sequence, user_id=None, k=10, exclude=None):
@@ -1114,7 +1121,10 @@ class Fossil(MFBase):
     def item_score(self, user_id, user_items):
         V, H, bias = self._np("V"), self._np("H"), self._np("bias")
         eta, eta_bias = self._np("eta"), self._np("eta_bias")
-        long_term = np.power(len(user_items), -self.alpha) * V[user_items].sum(axis=0)
+        # empty-bag guard: 0^-alpha = inf * zero-sum = NaN
+        long_term = np.power(max(len(user_items), 1), -self.alpha) * V[
+            user_items
+        ].sum(axis=0)
         effective_order = min(self.order, len(user_items))
         if user_id is None:
             w = (eta_bias + eta.mean(axis=0))[:effective_order]
@@ -1127,9 +1137,10 @@ class Fossil(MFBase):
         V, H, bias = self._np("V"), self._np("H"), self._np("bias")
         eta, eta_bias = self._np("eta"), self._np("eta_bias")
         sums, lens, flat, ends = self._bag_sums(V, seqs)
-        long_term = sums * np.power(lens.astype(np.float64), -self.alpha).astype(
-            V.dtype
-        )[:, None]
+        # empty-bag guard as in FISM._batch_scores: clamp 0^-alpha
+        long_term = sums * np.power(
+            np.maximum(lens, 1).astype(np.float64), -self.alpha
+        ).astype(V.dtype)[:, None]
         # the last `min(order, len)` items, most recent first, weighted by
         # the per-user short-term decay (fossil.py:42-56)
         j = np.arange(self.order, dtype=np.int64)[None, :]

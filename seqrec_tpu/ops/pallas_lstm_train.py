@@ -45,11 +45,19 @@ from seqrec_tpu.ops.pallas_rnn_train import TIME_CHUNK, _pad_time
 
 def lstm_train_block_b(B: int, H: int, G: int) -> int | None:
     """Largest batch tile whose backward footprint fits VMEM: the LSTM
-    backward streams x, dx (G-wide) and hs, cs (H-wide) chunks."""
+    backward streams x, dx (G-wide) and hs, cs (H-wide) chunks (the extra
+    cs stream is the ``2*H`` term below, vs the GRU model's ``H``)."""
     fixed = 3 * H * G * 4  # w + dw + dw_acc
     # capped at 256: bb=512 at H=64 compiles to 20.8e6 B of scoped vmem
     # (the footprint model under-counts ~40% at large tiles) and is
-    # rejected by the compiler; every (bb<=256, fitting) anchor compiles
+    # rejected by the compiler. NB: the 15.5e6 threshold and the
+    # under-count margin are anchors inherited from the GRU backward
+    # (pallas_rnn_train.train_block_b); with the LSTM's larger modeled
+    # footprint they admit bb=128 at H=128 (11.3e6 B — the measured
+    # 1.37-1.59x win region of BASELINE.md) and reject H>=256 onto the
+    # XLA scan. Device validation of the admitted tiles lives in
+    # tests/test_tpu_smoke.py (every fused kernel is compiled and
+    # numerics-checked on the real chip at its gated-on shapes).
     for cand in (256, 128):
         if cand > max(B, 128):
             continue

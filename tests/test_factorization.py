@@ -321,3 +321,26 @@ def test_fpmc_adaptive_sampling_excludes_true_item(synthetic_handler):
     u, p, i, j = model._sample_chunk(256)
     assert not (i == j).any()
     assert ((j >= 0) & (j < model.n_items)).all()
+
+
+def test_empty_bag_scoring_is_finite(synthetic_handler):
+    """Length-1 validation sequences yield an EMPTY first half; FISM and
+    Fossil scoring must not produce NaN/inf (0^-alpha guard) on either
+    the batched or the per-user path."""
+    for factory in (
+        lambda: FISM(k=8, loss="BPR", seed=0, init_sigma=0.3),
+        lambda: Fossil(k=8, order=2, seed=0, init_sigma=0.3),
+    ):
+        model = factory()
+        model.prepare_model(synthetic_handler)
+        model.change_data_format(synthetic_handler)
+        model.init_model()
+        scores = model._batch_scores(
+            np.array([0, 1], dtype=np.int64), [[], [(3, 1.0)]]
+        )
+        assert np.isfinite(scores).all(), type(model).__name__
+        if isinstance(model, Fossil):
+            single = model.item_score(0, [])
+        else:
+            single = model.item_score([])
+        assert np.isfinite(single).all(), type(model).__name__
