@@ -58,6 +58,46 @@ def generate_interactions(
     return np.asarray(rows, dtype=np.int64)
 
 
+def generate_interactions_vec(
+    n_users: int,
+    n_items: int,
+    min_len: int = 20,
+    max_len: int = 100,
+    markov_strength: float = 0.5,
+    seed: int = 0,
+) -> np.ndarray:
+    """Vectorized variant of :func:`generate_interactions` for LARGE
+    catalogs (the per-interaction Python loop above takes minutes at
+    10^5-item catalogs; this walks all users' Markov chains in parallel,
+    one numpy pass per timestep).
+
+    Non-Markov draws are uniform over the catalog rather than Zipf so a
+    bounded number of draws covers the whole catalog (a 200k-item bench
+    dataset should actually have ~200k items after preprocessing). The
+    planted structure (probability ``markov_strength`` of following a
+    fixed successor permutation) is the same, which is what lets
+    sequence models beat the POP floor.
+    """
+    rng = np.random.default_rng(seed)
+    succ = rng.permutation(n_items)
+    lengths = rng.integers(min_len, max_len + 1, size=n_users)
+    L = int(lengths.max())
+    items = np.zeros((n_users, L), dtype=np.int64)
+    items[:, 0] = rng.integers(0, n_items, size=n_users)
+    for t in range(1, L):
+        follow = rng.random(n_users) < markov_strength
+        jump = rng.integers(0, n_items, size=n_users)
+        items[:, t] = np.where(follow, succ[items[:, t - 1]], jump)
+    valid = np.arange(L)[None, :] < lengths[:, None]
+    users = np.repeat(np.arange(n_users), lengths)
+    flat_items = items[valid]
+    ratings = rng.integers(1, 6, size=flat_items.size)
+    # chronological order: user-major (each user's sequence contiguous in
+    # time), matching the loop generator's global time counter
+    times = np.arange(flat_items.size)
+    return np.stack([users, flat_items, ratings, times], axis=1)
+
+
 def make_dataset(
     dirname: str,
     n_users: int = 500,
@@ -68,11 +108,16 @@ def make_dataset(
     val_size: float = 0.1,
     test_size: float = 0.1,
     seed: int = 0,
+    vectorized: bool = False,
 ) -> str:
     """Generate interactions and run the full preprocess pipeline into
-    ``dirname``. Returns the dataset directory path (with trailing slash)."""
+    ``dirname``. Returns the dataset directory path (with trailing slash).
+
+    ``vectorized=True`` uses :func:`generate_interactions_vec` (uniform
+    item popularity, required for large-catalog benchmark datasets)."""
     os.makedirs(dirname, exist_ok=True)
-    rows = generate_interactions(
+    gen = generate_interactions_vec if vectorized else generate_interactions
+    rows = gen(
         n_users=n_users,
         n_items=n_items,
         min_len=min_len,
@@ -81,7 +126,12 @@ def make_dataset(
         seed=seed,
     )
     raw = os.path.join(dirname, "interactions.tsv")
-    np.savetxt(raw, rows, fmt="%d", delimiter="\t")
+    if vectorized:
+        import pandas as pd
+
+        pd.DataFrame(rows).to_csv(raw, sep="\t", header=False, index=False)
+    else:
+        np.savetxt(raw, rows, fmt="%d", delimiter="\t")
     return pp.preprocess(
         raw,
         columns="uirt",

@@ -262,6 +262,15 @@ class RNNBase:
                 )
             if self.eval_batch_size % n_data:
                 self.eval_batch_size += n_data - self.eval_batch_size % n_data
+            if len({d.process_index for d in mesh.devices.flat}) > 1:
+                # multi-process mesh: every host must draw IDENTICAL
+                # batches (each contributes its local slice of the same
+                # global batch — parallel/mesh.put_global). The core
+                # samplers are already seeded from self.seed; the noise /
+                # target plugins default to unseeded generators, so pin
+                # them here
+                self.sequence_noise.rng = np.random.default_rng(self.seed + 13)
+                self.target_selection.rng = np.random.default_rng(self.seed + 29)
         self.mesh = mesh
         self._val_cache = None
 
@@ -273,9 +282,9 @@ class RNNBase:
         state inherits each slot's sharding from a sharded template."""
         import jax
 
-        from seqrec_tpu.parallel import param_sharding
+        from seqrec_tpu.parallel import param_sharding, put_global
 
-        self.params = jax.device_put(
+        self.params = put_global(
             self.params, param_sharding(self.params, self.mesh)
         )
         if self.opt_state is None:
@@ -283,19 +292,17 @@ class RNNBase:
         else:
             template = self._opt.init(self.params)
             self.opt_state = jax.tree_util.tree_map(
-                lambda loaded, tmpl: jax.device_put(loaded, tmpl.sharding),
+                lambda loaded, tmpl: put_global(loaded, tmpl.sharding),
                 self.opt_state,
                 template,
             )
 
     def _shard_batch_gen(self, gen):
         """Wrap a host-batch generator with data-sharded device_puts."""
-        import jax
-
-        from seqrec_tpu.parallel import batch_sharding
+        from seqrec_tpu.parallel import batch_sharding, put_global
 
         for b in gen:
-            yield jax.device_put(b, batch_sharding(b, self.mesh))
+            yield put_global(b, batch_sharding(b, self.mesh))
 
     def _out_matmul(self, h, w_out, b_out):
         """Catalog-sized output matmul in the compute dtype (f32 accum)."""
@@ -453,6 +460,9 @@ class RNNBase:
         (and usually already device-resident) K-step payload. Index-wire
         payloads (``rows``/``cuts`` only) assemble their batches on
         device from the resident store."""
+        ep = payload.pop("_epochs", None)
+        if ep is not None:
+            self._pipeline_epochs = float(ep)
         if "rows" in payload:
             self.params, self.opt_state, cost_sum = self._train_multi_idx(
                 self.params, self.opt_state, self._dev_store, payload
@@ -503,34 +513,50 @@ class RNNBase:
 
         if self._index_batching_ok():
             self._dev_store = self._upload_index_store(training_set)
-            host = self._prefetch(
-                self._gen_index_mini_batch(training_set, rng, n_stack=K),
-                depth=depth,
-            )
+            gen = self._gen_index_mini_batch(training_set, rng, n_stack=K)
         else:
-            host = self._prefetch(
-                self._gen_packed_mini_batch(training_set, rng, n_stack=K),
-                depth=depth,
-            )
+            gen = self._gen_packed_mini_batch(training_set, rng, n_stack=K)
+        host = self._prefetch(self._with_epochs(gen, training_set), depth=depth)
 
         def transfer(upstream):
             # explicit generator (not a genexp) so closing this stage
             # deterministically closes the upstream prefetch too
             try:
                 if self.mesh is not None:
-                    from seqrec_tpu.parallel import stacked_batch_sharding
+                    from seqrec_tpu.parallel import (
+                        put_global,
+                        stacked_batch_sharding,
+                    )
 
                     for p in upstream:
-                        yield jax.device_put(
-                            p, stacked_batch_sharding(p, self.mesh)
-                        )
+                        ep = p.pop("_epochs", None)
+                        p = put_global(p, stacked_batch_sharding(p, self.mesh))
+                        if ep is not None:
+                            p["_epochs"] = ep  # host-side marker, not shipped
+                        yield p
                 else:
                     for p in upstream:
-                        yield jax.device_put(p)
+                        ep = p.pop("_epochs", None)
+                        p = jax.device_put(p)
+                        if ep is not None:
+                            p["_epochs"] = ep
+                        yield p
             finally:
                 upstream.close()
 
         return self._prefetch(transfer(host), depth=depth)
+
+    def _with_epochs(self, gen, training_set):
+        """Tag each batch with the generator's fractional-epochs value AS
+        OF ITS ASSEMBLY. The prefetch thread runs ahead of consumption,
+        so reading ``training_set.epochs`` at checkpoint time races with
+        however far prefetch happens to be — nondeterministic epoch
+        stamps in checkpoint filenames (and, on a multi-process mesh,
+        DIFFERENT filenames per host). Consumers pop the tag and track it
+        in ``self._pipeline_epochs``."""
+        for b in gen:
+            b["_epochs"] = float(training_set.epochs)
+            yield b
 
     def train_function(self, batch):
         """One optimizer step; returns the batch cost WITHOUT syncing.
@@ -541,6 +567,9 @@ class RNNBase:
         checkpoints. (The reference syncs and NaN-checks every step,
         rnn_base.py:290-292; deferring the check to the checkpoint is
         the async-dispatch trade.)"""
+        ep = batch.pop("_epochs", None)
+        if ep is not None:
+            self._pipeline_epochs = float(ep)
         self.params, self.opt_state, cost = self._train_step(
             self.params, self.opt_state, batch
         )
@@ -560,7 +589,15 @@ class RNNBase:
         import jax
 
         if getattr(self, "_dev_params_src", None) is not self.params:
-            self._dev_params = jax.device_put(self.params)
+            # leaves that are already jax Arrays stay untouched: re-
+            # device_put would be a no-op single-process but is INVALID
+            # for mesh-sharded arrays spanning processes
+            self._dev_params = jax.tree_util.tree_map(
+                lambda leaf: leaf
+                if isinstance(leaf, jax.Array)
+                else jax.device_put(leaf),
+                self.params,
+            )
             self._dev_params_src = self.params
         return self._dev_params
 
@@ -782,7 +819,9 @@ class RNNBase:
 
             sharding = store_sharding(host, self.mesh)
         if sharding is not None:
-            return jax.device_put(host, sharding)
+            from seqrec_tpu.parallel import put_global
+
+            return put_global(host, sharding)
         return jax.device_put(host)
 
     def _gen_index_mini_batch(self, training_set, rng=None, n_stack=0):
@@ -1073,9 +1112,11 @@ class RNNBase:
                 ids = ids.astype(np.int16)
             # async upload: all chunk transfers start before any dispatch
             if shardings is not None:
+                from seqrec_tpu.parallel import put_global
+
                 dev = (
-                    jax.device_put(ids, shardings(ids.ndim)),
-                    jax.device_put(lengths, shardings(1)),
+                    put_global(ids, shardings(ids.ndim)),
+                    put_global(lengths, shardings(1)),
                 )
             else:
                 dev = jax.device_put((ids, lengths))
@@ -1083,13 +1124,18 @@ class RNNBase:
         return staged
 
     def _topk_from_staged(self, staged, k: int) -> np.ndarray:
+        from seqrec_tpu.parallel import host_global
+
         params = self._device_params()
         pending = [
             (n, self._topk_wire_jit(params, ids_d, len_d, k))
             for n, (ids_d, len_d) in staged
         ]
+        # host_global: on a multi-process mesh the top-k rows are sharded
+        # over a cross-host "data" axis; gather them (every process runs
+        # this eval loop, so the collective is symmetric)
         return np.concatenate(
-            [np.asarray(topk)[:n] for n, topk in pending], axis=0
+            [host_global(topk)[:n] for n, topk in pending], axis=0
         )
 
     def _compute_validation_metrics(self, metrics):
@@ -1202,7 +1248,12 @@ class RNNBase:
                 )
             else:
                 batch_generator = self._prefetch(
-                    self._gen_packed_mini_batch(dataset.training_set, batch_rng)
+                    self._with_epochs(
+                        self._gen_packed_mini_batch(
+                            dataset.training_set, batch_rng
+                        ),
+                        dataset.training_set,
+                    )
                 )
         else:
             batch_generator = self._gen_mini_batch(
@@ -1216,6 +1267,10 @@ class RNNBase:
         train_costs = []
         cost_sum = None  # device-side running sum: ONE host pull per checkpoint
         cost_count = 0
+        # epochs-as-consumed: set from the per-payload markers; the raw
+        # generator counter races with the prefetch threads (see
+        # _with_epochs) — only a fallback for the slow synchronous path
+        self._pipeline_epochs = None
         epochs = []
         metrics = {name: [] for name in self.metrics.keys()}
         filename = {}
@@ -1246,7 +1301,12 @@ class RNNBase:
 
                 if progress_indicator >= next_save:
                     if progress_indicator >= min_iterations:
-                        epochs.append(epochs_offset + dataset.training_set.epochs)
+                        consumed = (
+                            self._pipeline_epochs
+                            if self._pipeline_epochs is not None
+                            else dataset.training_set.epochs
+                        )
+                        epochs.append(epochs_offset + consumed)
                         mean_cost = float(cost_sum) / max(cost_count, 1)
                         if np.isnan(mean_cost):
                             raise ValueError("Cost is NaN")
@@ -1408,11 +1468,9 @@ class RNNBase:
         sharded arrays are fully addressable and assemble locally; on a
         multi-host mesh the shards are gathered across processes so every
         host writes a complete checkpoint."""
-        if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
-            from jax.experimental import multihost_utils
+        from seqrec_tpu.parallel import host_global
 
-            return np.asarray(multihost_utils.process_allgather(leaf, tiled=True))
-        return np.asarray(leaf)
+        return host_global(leaf)
 
     def save(self, filename: str) -> None:
         print("Save model in " + filename)

@@ -1,5 +1,7 @@
 from seqrec_tpu.parallel.mesh import (
     batch_sharding,
+    host_global,
+    put_global,
     index_payload_sharding,
     make_mesh,
     param_sharding,
@@ -11,6 +13,8 @@ from seqrec_tpu.parallel.mesh import (
 
 __all__ = [
     "make_mesh",
+    "put_global",
+    "host_global",
     "param_sharding",
     "batch_sharding",
     "index_payload_sharding",

@@ -187,9 +187,52 @@ def index_payload_sharding(payload: dict, mesh: Mesh, stacked: bool = True):
     return out
 
 
+def put_global(x, sharding):
+    """Host→device transfer of identical-on-every-process host data,
+    valid on BOTH single- and multi-process meshes.
+
+    On a multi-process mesh ``jax.device_put(np_array, sharding)`` issues
+    a hidden ``multihost_utils.assert_equal`` — a cross-process allgather
+    of the payload (jax dispatch.py ``_device_put_sharding_impl``). That
+    is (a) a full extra copy of every batch over DCN and (b) a DEADLOCK
+    when called from the prefetch thread, whose collectives interleave
+    unordered with the main thread's. Instead, every process passes the
+    same full global array and ``make_array_from_process_local_data``
+    extracts the local shards with no communication at all
+    (``global_shape == local_data.shape`` mode).
+
+    The identical-data precondition holds throughout: batch sampling is
+    driven by seeded generators (base.py ``train``), params/opt-state
+    come from the same seed or the same checkpoint, and eval inputs are
+    deterministic half-splits.
+    """
+    leaves = jax.tree_util.tree_leaves(
+        sharding, is_leaf=lambda s: isinstance(s, jax.sharding.Sharding)
+    )
+    if all(s.is_fully_addressable for s in leaves):
+        return jax.device_put(x, sharding)
+    shapes = jax.tree_util.tree_map(np.shape, x)
+    return jax.make_array_from_process_local_data(sharding, x, shapes)
+
+
+def host_global(x) -> np.ndarray:
+    """Full host copy of a device array, multi-process safe.
+
+    ``np.asarray`` raises on arrays with non-addressable shards (e.g.
+    eval top-k results sharded over a cross-host "data" axis); gather
+    those with ``process_allgather`` — a collective, so call sites must
+    be reached symmetrically by every process (all of ours are: eval
+    loops and checkpoint saves run unconditionally on each host)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def shard_params(params, mesh: Mesh):
-    return jax.device_put(params, param_sharding(params, mesh))
+    return put_global(params, param_sharding(params, mesh))
 
 
 def shard_batch(batch: dict, mesh: Mesh):
-    return jax.device_put(batch, batch_sharding(batch, mesh))
+    return put_global(batch, batch_sharding(batch, mesh))
