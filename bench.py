@@ -64,22 +64,64 @@ _BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "benc
 _TRACE_DIR = "/tmp/seqrec_bench_trace"
 
 
-def make_model(batch_size: int):
+def make_model(
+    batch_size: int,
+    hidden: int = HIDDEN,
+    n_items: int = N_ITEMS,
+    compute_dtype: str = "float32",
+    device_init: bool = False,
+):
     from seqrec_tpu.models.recurrent import RecurrentLayers
     from seqrec_tpu.models.rnn_one_hot import RNNOneHot
     from seqrec_tpu.models.updates import Adam
 
     model = RNNOneHot(
-        recurrent_layer=RecurrentLayers(layer_type="GRU", layers=[HIDDEN]),
+        recurrent_layer=RecurrentLayers(layer_type="GRU", layers=[hidden]),
         updater=Adam(0.001),
         max_length=MAX_LEN,
         batch_size=batch_size,
         seed=0,
+        compute_dtype=compute_dtype,
     )
-    model._prepare_networks(N_ITEMS)
-    model.params = model._init_params()
+    model._prepare_networks(n_items)
+    if device_init:
+        model.params = _device_init_params(hidden, n_items)
+    else:
+        model.params = model._init_params()
     model._build_functions()
     return model
+
+
+def _device_init_params(H: int, N: int):
+    """Flagship CCE-GRU parameter pytree initialized ON DEVICE.
+
+    The host-side `_init_params` + transfer costs minutes through the
+    remote-TPU tunnel at 10^5-catalog shapes (~6 MB/s effective for the
+    ~2.4 GB params+opt-state of H=256/N=200k); the matrix bench only
+    measures throughput, so value-parity of the init doesn't matter —
+    shapes and dtypes do. Mirrors RNNOneHot._init_params's layout."""
+    import jax
+    import jax.numpy as jnp
+
+    def init(key):
+        ks = jax.random.split(key, 4)
+        limit = (6.0 / (H + N)) ** 0.5
+        return {
+            "tower": {
+                "layer0_fwd": {
+                    "W_in": 0.1 * jax.random.normal(ks[0], (N, 3 * H), jnp.float32),
+                    "W_hid": 0.1 * jax.random.normal(ks[1], (H, 3 * H), jnp.float32),
+                    "b": jnp.zeros((3 * H,), jnp.float32),
+                    "h0": jnp.zeros((H,), jnp.float32),
+                }
+            },
+            "W_out": jax.random.uniform(
+                ks[2], (H, N), jnp.float32, -limit, limit
+            ),
+            "b_out": jnp.zeros((N,), jnp.float32),
+        }
+
+    return jax.jit(init)(jax.random.PRNGKey(0))
 
 
 def make_batch(batch_size: int, rng):
@@ -141,14 +183,12 @@ def _pipeline(model, handler, K: int):
     return gen
 
 
-def measure_end_to_end(model, handler, steps: int, windows: int = 5):
+def measure_end_to_end(model, handler, steps: int, windows: int = 5, K: int = K_DISPATCH):
     """(median sequences/s, per-window rates) of the REAL training loop:
     prefetch-threaded index-wire batch generation + fused K-step device
     dispatches. Every dispatch carries FRESH (rows, cuts) payloads, so
     terminal-side result caching cannot kick in."""
     import jax
-
-    K = K_DISPATCH
     gen = _pipeline(model, handler, K)
     for _ in range(2):
         cost = model.train_function_stacked(next(gen))
@@ -168,7 +208,7 @@ def measure_end_to_end(model, handler, steps: int, windows: int = 5):
     return float(np.median(rates)), [round(r, 1) for r in rates]
 
 
-def measure_device_only(model, handler, n_dispatch: int = 3):
+def measure_device_only(model, handler, n_dispatch: int = 3, K: int = K_DISPATCH):
     """Device-compute sequences/s of the fused dispatch, from an xplane
     device trace (wall clock through the tunnel is unreliable). Returns
     None when the trace tooling is unavailable."""
@@ -178,7 +218,6 @@ def measure_device_only(model, handler, n_dispatch: int = 3):
         from xprof.convert import raw_to_tool_data as rtd
     except Exception:
         return None
-    K = K_DISPATCH
     gen = _pipeline(model, handler, K)
     cost = model.train_function_stacked(next(gen))
     jax.block_until_ready(cost)
@@ -210,12 +249,146 @@ def measure_device_only(model, handler, n_dispatch: int = 3):
         shutil.rmtree(_TRACE_DIR, ignore_errors=True)
 
 
-def flops_per_sequence() -> float:
+def flops_per_sequence(H: int = HIDDEN, N: int = N_ITEMS, L: int = MAX_LEN) -> float:
     """Analytic fwd+bwd model FLOPs per trained sequence (GRU tower +
     catalog softmax; gather-sum input contributes no matmul FLOPs)."""
-    H, L, N = HIDDEN, MAX_LEN, N_ITEMS
     fwd = 2 * H * (3 * H) * L + 2 * H * N  # time scan + output matmul
     return 3.0 * fwd  # backward ~2x forward
+
+
+# ----------------------------------------------------------------------
+# MXU-shape matrix: {H} x {catalog} x {dtype} at deployment batch size.
+# The parity config (GRU-50 / 3.7k catalog) leaves the MXU ~97.5% idle by
+# construction; these shapes are where the TPU-first design (bf16 catalog
+# matmuls, fused Pallas train scan, index wire) actually engages.
+# ----------------------------------------------------------------------
+MATRIX_BATCH = 1024
+MATRIX_K = 32
+MATRIX_SHAPES = (
+    # (hidden, catalog_items, n_users) — dataset sized so every item
+    # appears (uniform draws; see data/synthetic.generate_interactions_vec)
+    (128, 50_000, 20_000),
+    (128, 200_000, 50_000),
+    (256, 50_000, 20_000),
+    (256, 200_000, 50_000),
+)
+
+
+def _ensure_matrix_dataset(n_items: int, n_users: int) -> str:
+    from seqrec_tpu.data.synthetic import make_dataset
+
+    cache = f"/tmp/seqrec_matrix_{n_items // 1000}k"
+    if not os.path.isfile(os.path.join(cache, "data", "stats")):
+        make_dataset(
+            cache, n_users=n_users, n_items=n_items, min_len=20, max_len=100,
+            markov_strength=0.5, seed=3 + n_items % 7, val_size=100,
+            test_size=100, vectorized=True,
+        )
+    return cache + "/"
+
+
+_MATRIX_CACHE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_matrix.json"
+)
+
+
+def load_or_run_matrix(force: bool = False):
+    """The matrix result, from the committed artifact when present.
+
+    A full live matrix run costs 30-60 min: each (H, catalog, dtype)
+    config pays a server-side XLA compile through the remote-TPU tunnel
+    measured between 230 s and >580 s for the SAME program (shared
+    compile-server queue; the persistent jax compilation cache writes
+    entries but reload through the tunnel is not reliably faster). The
+    steady-state rates themselves are stable (<2% across sessions, same
+    protocol as the headline bench), so the matrix is measured once per
+    round via ``--matrix-only`` and embedded with provenance."""
+    if not force and os.path.isfile(_MATRIX_CACHE):
+        with open(_MATRIX_CACHE) as f:
+            return json.load(f)
+    result = {
+        "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+        "protocol": "e2e index-wire training loop, B=1024, K=32, L=30, "
+        "3 windows of 2 fused dispatches each (median), device-only from "
+        "xplane trace; MFU vs dtype peak (197/98.5 TFLOP/s bf16/f32, v5e)",
+        "rows": run_matrix(),
+    }
+    with open(_MATRIX_CACHE, "w") as f:
+        json.dump(result, f, indent=2)
+    return result
+
+
+def run_matrix(windows: int = 3, n_dispatch: int = 2):
+    """e2e + device-only rate and MFU for each MXU-relevant shape.
+
+    MFU is computed against the peak of the dtype the catalog matmul
+    (the dominant FLOP term) runs in: 197 TFLOP/s bf16, 98.5 f32 (v5e).
+
+    Resumable: each finished config is appended to a partial file so an
+    interrupted run (the per-config compile takes minutes through the
+    tunnel) picks up where it left off.
+    """
+    from seqrec_tpu.data import DataHandler
+    from seqrec_tpu.ops.pallas_rnn_train import train_block_b
+
+    partial = _MATRIX_CACHE + ".partial"
+    done = {}
+    if os.path.isfile(partial):
+        with open(partial) as f:
+            for line in f:
+                row = json.loads(line)
+                done[(row["H"], row["catalog"], row["dtype"])] = row
+
+    rows = []
+    for hidden, n_items, n_users in MATRIX_SHAPES:
+        handler = DataHandler(_ensure_matrix_dataset(n_items, n_users))
+        for dtype in ("float32", "bfloat16"):
+            key = (hidden, int(handler.n_items), "bf16" if dtype == "bfloat16" else "f32")
+            if key in done:
+                rows.append(done[key])
+                continue
+            model = make_model(
+                MATRIX_BATCH, hidden=hidden, n_items=handler.n_items,
+                compute_dtype=dtype, device_init=True,
+            )
+            value, win = measure_end_to_end(
+                model, handler, steps=n_dispatch * MATRIX_K,
+                windows=windows, K=MATRIX_K,
+            )
+            dev_only = measure_device_only(
+                make_model(
+                    MATRIX_BATCH, hidden=hidden, n_items=handler.n_items,
+                    compute_dtype=dtype, device_init=True,
+                ),
+                handler, K=MATRIX_K,
+            )
+            peak = 197e12 if dtype == "bfloat16" else 197e12 / 2
+            mfu = ((dev_only or value) * flops_per_sequence(hidden, handler.n_items)) / peak * 100.0
+            # the fused Pallas GRU train kernel gates on at lane-aligned
+            # H>=128 (recurrent.py); record whether this shape engaged it
+            fused = (
+                train_block_b(MATRIX_BATCH, hidden, 3 * hidden) is not None
+                and hidden % 64 == 0
+                and (hidden >= 128 or MATRIX_BATCH <= 256)
+            )
+            rows.append(
+                {
+                    "H": hidden,
+                    "catalog": int(handler.n_items),
+                    "dtype": "bf16" if dtype == "bfloat16" else "f32",
+                    "e2e_seq_per_s": round(value, 1),
+                    "device_only": round(dev_only, 1) if dev_only else None,
+                    "mfu_pct": round(mfu, 2),
+                    "pallas_train": bool(fused),
+                    "windows": win,
+                }
+            )
+            with open(partial, "a") as f:
+                f.write(json.dumps(rows[-1]) + "\n")
+            print(json.dumps({"matrix_row": rows[-1]}), file=sys.stderr, flush=True)
+    if os.path.isfile(partial):
+        os.remove(partial)
+    return rows
 
 
 def measure_cpu_baseline(steps: int) -> float:
@@ -254,6 +427,10 @@ def main():
     ap.add_argument("--steps", type=int, default=2048)
     ap.add_argument("--cpu-baseline-worker", action="store_true",
                     help=argparse.SUPPRESS)
+    ap.add_argument("--matrix-only", action="store_true",
+                    help="Run only the MXU-shape matrix and print it.")
+    ap.add_argument("--no-matrix", action="store_true",
+                    help="Skip the MXU-shape matrix (parity headline only).")
     args = ap.parse_args()
     steps = 256 if args.quick else args.steps
     if args.cpu_baseline_worker:
@@ -261,6 +438,18 @@ def main():
         return
 
     from seqrec_tpu.data import DataHandler
+
+    if args.matrix_only:
+        print(
+            json.dumps(
+                {
+                    "metric": "mxu_shape_matrix",
+                    "matrix": load_or_run_matrix(force=True),
+                }
+            )
+        )
+        sys.stdout.flush()
+        os._exit(0)
 
     handler = DataHandler(_ensure_dataset() + "/")
 
@@ -298,6 +487,11 @@ def main():
     # wall-clock rate carries tunnel variance); fall back to e2e
     mfu = ((dev_only or value) * flops_per_sequence()) / peak_flops * 100.0
 
+    # MXU-relevant-shape matrix (H x catalog x dtype at B=1024); from
+    # the committed artifact when present (see load_or_run_matrix for
+    # why a live matrix is not run inside every bench invocation)
+    matrix = None if (args.quick or args.no_matrix) else load_or_run_matrix()
+
     print(
         json.dumps(
             {
@@ -312,6 +506,7 @@ def main():
                 "cpu_b16_baseline": round(baseline, 2),
                 "config": f"GRU-{HIDDEN} L={MAX_LEN} catalog={N_ITEMS} "
                 f"B={args.batch} K={K_DISPATCH} index-wire f32",
+                "matrix": matrix,
             }
         )
     )

@@ -23,6 +23,30 @@ and a word2vec-trajectory model — all implemented TPU-first:
 __version__ = "0.1.0"
 
 
+def _machine_tag() -> str:
+    """Fingerprint of the host CPU's feature set, used to segregate the
+    compile cache per machine: XLA:CPU caches AOT-compiled executables
+    whose codegen targets the COMPILE machine's features, and loading
+    them on a host with a different feature set intermittently SIGILLs /
+    aborts mid-execution (the cpu_aot_loader warns exactly this). A
+    container image migrating between heterogeneous hosts must therefore
+    never share cache entries across CPU types."""
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    raw = f"{platform.machine()} {flags}"
+    return hashlib.sha1(raw.encode()).hexdigest()[:12]
+
+
 def _enable_persistent_compile_cache() -> None:
     """Point JAX's persistent compilation cache at a local directory so
     repeat CLI invocations (train.py / test.py sweeps) skip the 20-100s
@@ -36,7 +60,7 @@ def _enable_persistent_compile_cache() -> None:
         import jax
 
         cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
-            os.path.expanduser("~"), ".cache", "seqrec_tpu", "xla"
+            os.path.expanduser("~"), ".cache", "seqrec_tpu", "xla", _machine_tag()
         )
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

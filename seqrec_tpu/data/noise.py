@@ -63,6 +63,7 @@ class SequenceNoise:
         self.ratings_perturb = ratings_perturb
         self.shuf = shuf
         self.shuf_std = shuf_std
+        self.rng_explicit = rng is not None  # see SelectTargets.__init__
         self.rng = rng or np.random.default_rng()
         self._check_param_validity()
         self._set_name()

@@ -58,6 +58,11 @@ class SelectTargets:
         self.shuffle = shuffle
         self.bias = bias
         self.determinist_test = determinist_test
+        # rng_explicit: RNNBase reseeds default streams from the model
+        # seed (reproducible runs; required for mesh/single parity and
+        # identical batches across multi-process hosts) but never
+        # overrides a caller-provided generator
+        self.rng_explicit = rng is not None
         self.rng = rng or np.random.default_rng()
 
     @property

@@ -120,6 +120,19 @@ class RNNBase:
         # stay f32, so only matmul inputs are cast.
         self.compute_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
         self.rng = np.random.default_rng(seed)
+        # derive the plugin RNG streams from the model seed unless the
+        # caller provided explicit generators: seeded-by-default makes
+        # runs reproducible, makes the mesh-vs-single-device parity
+        # tests meaningful on the slow batching path (which draws
+        # targets/noise per sequence), and is REQUIRED on multi-process
+        # meshes, where every host must assemble identical batches
+        # (parallel/mesh.put_global). The reference uses the unseeded
+        # process-global `random` module here (target_selection.py:41,
+        # sequence_noise.py:62) — divergence documented, not replicated.
+        if not getattr(self.sequence_noise, "rng_explicit", True):
+            self.sequence_noise.rng = np.random.default_rng(seed + 13)
+        if not getattr(self.target_selection, "rng_explicit", True):
+            self.target_selection.rng = np.random.default_rng(seed + 29)
 
         self.name = "RNN base"
         self.metrics = {
@@ -262,15 +275,10 @@ class RNNBase:
                 )
             if self.eval_batch_size % n_data:
                 self.eval_batch_size += n_data - self.eval_batch_size % n_data
-            if len({d.process_index for d in mesh.devices.flat}) > 1:
-                # multi-process mesh: every host must draw IDENTICAL
-                # batches (each contributes its local slice of the same
-                # global batch — parallel/mesh.put_global). The core
-                # samplers are already seeded from self.seed; the noise /
-                # target plugins default to unseeded generators, so pin
-                # them here
-                self.sequence_noise.rng = np.random.default_rng(self.seed + 13)
-                self.target_selection.rng = np.random.default_rng(self.seed + 29)
+            # NB multi-process meshes additionally require every host to
+            # assemble identical batches; all sampler streams derive from
+            # self.seed (see __init__'s plugin reseeding), so same config
+            # ⇒ same batches on every host
         self.mesh = mesh
         self._val_cache = None
 

@@ -59,3 +59,11 @@ class FakeDataset:
 @pytest.fixture
 def fake_dataset():
     return FakeDataset()
+
+
+# XLA:CPU's persistent-cache AOT loader intermittently aborts when
+# re-loading executables (machine-feature mismatch diagnostics point at
+# codegen/host drift; seqrec_tpu/__init__.py segregates the cache per
+# CPU fingerprint, but same-machine reloads of scatter-heavy sharded
+# programs still aborted). Tests recompile from scratch — ~1 min total.
+os.environ.setdefault("SEQREC_NO_COMPILE_CACHE", "1")

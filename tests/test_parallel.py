@@ -190,3 +190,62 @@ def test_sharded_index_wire_matches_single_device(synthetic_handler, devices):
         rtol=1e-4,
         atol=1e-6,
     )
+
+
+def _train_pair(factory, handler, mesh, max_iter=16, progress=8):
+    """Train two fresh instances of the same model — single-device and
+    mesh-sharded — and return (result, params) for each."""
+    results = []
+    for use_mesh in (False, True):
+        model = factory()
+        model.prepare_model(handler)
+        if use_mesh:
+            model.set_mesh(mesh)
+        res, _, _ = model.train(
+            handler, max_iter=max_iter, progress=progress, autosave="None"
+        )
+        params = jax.tree_util.tree_map(np.asarray, model.params)
+        results.append((res, params))
+    return results
+
+
+def test_sdae_mesh_matches_single_device(synthetic_handler, devices):
+    """SDAE trains through the slow (bag-of-items) batching path; with a
+    mesh the same batches are data-sharded and W_out column-shards.
+    train.py advertises --mesh for the SDAE family — prove it."""
+    from seqrec_tpu.models.sdae import StackedDenoisingAutoencoder
+
+    mesh = make_mesh(n_data=2, n_model=4, devices=devices)
+    (res_a, pa), (res_b, pb) = _train_pair(
+        lambda: StackedDenoisingAutoencoder(
+            layers=[12], input_dropout=0.2, dropout=0.0,
+            updater=Adam(0.01), batch_size=8, seed=0,
+        ),
+        synthetic_handler,
+        mesh,
+    )
+    for m in ("sps", "recall", "ndcg"):
+        assert np.isclose(res_a[m], res_b[m], atol=1e-9), (m, res_a, res_b)
+    np.testing.assert_allclose(pa["W_out"], pb["W_out"], rtol=1e-4, atol=1e-5)
+
+
+def test_fism_cluster_mesh_matches_single_device(synthetic_handler, devices):
+    """FISMCluster: bag representation + cluster machinery under --mesh
+    (item_embeddings/cluster_repartition row-shard, W_out column-shards)."""
+    from seqrec_tpu.models.cluster import FISMCluster
+
+    mesh = make_mesh(n_data=2, n_model=4, devices=devices)
+    (res_a, pa), (res_b, pb) = _train_pair(
+        lambda: FISMCluster(
+            h=12, n_clusters=3, loss="Blackout", sampling=8,
+            updater=Adam(0.01), batch_size=8, seed=0,
+        ),
+        synthetic_handler,
+        mesh,
+    )
+    # the cluster family reports its own metric set (no ndcg)
+    for m in ("sps", "recall", "cluster_sps", "assr"):
+        assert np.isclose(res_a[m], res_b[m], atol=1e-9), (m, res_a, res_b)
+    np.testing.assert_allclose(
+        pa["item_embeddings"], pb["item_embeddings"], rtol=1e-4, atol=1e-5
+    )
