@@ -462,6 +462,39 @@ class MFBase:
             out[bad] = self.rng.integers(0, self.n_items, size=int(bad.sum()))
         return out
 
+    # bucketed device sampling for the basket models (FISM/Fossil) ------
+    def _upload_bucket_store(self) -> None:
+        """Device-resident per-length-bucket user lists.
+
+        Basket gathers need a STATIC pad per compiled dispatch; grouping
+        eligible users by the power-of-two bucket of their history
+        length lets each dispatch compile for one pad (a handful of
+        buckets total) instead of the global maximum. A dispatch draws
+        its bucket with probability proportional to the bucket's
+        population and users uniformly within it, so the marginal
+        per-sample user distribution stays uniform over eligible users
+        (samples within one dispatch are length-correlated — an SGD
+        ordering effect only)."""
+        import jax
+
+        if not hasattr(self, "_dev_sample_store"):
+            self._upload_sample_store()
+        lens = self.users[self._eligible_users, 1].astype(int)
+        pads = np.array([_bucket(int(ln)) for ln in lens])
+        self._bucket_users = {}
+        self._bucket_probs = {}
+        total = len(self._eligible_users)
+        for P in np.unique(pads):
+            sel = self._eligible_users[pads == P].astype(np.int32)
+            self._bucket_users[int(P)] = jax.device_put(sel)
+            self._bucket_probs[int(P)] = len(sel) / total
+        self._bucket_steps: dict = {}
+
+    def _draw_bucket(self) -> int:
+        keys = sorted(self._bucket_probs)
+        probs = np.array([self._bucket_probs[k] for k in keys])
+        return int(self.rng.choice(keys, p=probs))
+
 
 # ======================================================================
 class BPRMF(MFBase):
@@ -721,11 +754,68 @@ class FPMC(MFBase):
             falses[falses >= trues] += 1  # ensure false != true (fpmc.py:110-112)
         return users, prevs, trues, falses
 
+    def _build_device_step(self):
+        """Fused on-device (sample + SGD) dispatch for the uniform path:
+        (user, prev, next) position draws from the HBM-resident index
+        store and shifted-uniform negatives (false != true,
+        fpmc.py:110-112) — no host sampling between checkpoints, same
+        pattern as BPRMF._build_device_step."""
+        st = self._dev_sample_store
+        n = self.samples_per_step
+        K = self.chunks_per_dispatch
+        E = len(self._eligible_users)
+        reg = self.reg
+        sgd = self._sgd_chunk
+        n_items = self.n_items
+
+        def sample(key):
+            k1, k2, k3 = jax.random.split(key, 3)
+            u = st["eligible"][jax.random.randint(k1, (n,), 0, E)]
+            offs, lens = st["offs"][u], st["lens"][u]
+            r = jax.random.randint(k2, (n,), 0, lens - 1)
+            p = st["items"][offs + r]
+            i = st["items"][offs + r + 1]
+            j = jax.random.randint(k3, (n,), 0, n_items - 1)
+            j = jnp.where(j >= i, j + 1, j)
+            return u, p, i, j
+
+        def multi(VUI, VIU, VPN, VNP, key, lr):
+            def body(carry, k):
+                u, p, i, j = sample(k)
+                out = sgd(reg, *carry, u, p, i, j, lr)
+                return tuple(out[:-1]), out[-1]
+
+            carry, costs = jax.lax.scan(
+                body, (VUI, VIU, VPN, VNP), jax.random.split(key, K)
+            )
+            return (*carry, costs.mean())
+
+        self._multi_step = jax.jit(multi, donate_argnums=(0, 1, 2, 3))
+
     def training_step(self, iterations):
         n = self.samples_per_step
-        if self.adaptive_sampling and (
-            iterations % int(self.n_items * np.log(self.n_items)) < n
-            or not hasattr(self, "ranks")
+        if not self.adaptive_sampling:
+            if not hasattr(self, "_multi_step"):
+                self._upload_sample_store()
+                self._build_device_step()
+            self._sample_key, sub = jax.random.split(self._sample_key)
+            (
+                self.V_user_item,
+                self.V_item_user,
+                self.V_prev_next,
+                self.V_next_prev,
+                cost,
+            ) = self._multi_step(
+                self.V_user_item,
+                self.V_item_user,
+                self.V_prev_next,
+                self.V_next_prev,
+                sub,
+                np.float32(self.learning_rate),
+            )
+            return cost, n * self.chunks_per_dispatch
+        if iterations % int(self.n_items * np.log(self.n_items)) < n or not hasattr(
+            self, "ranks"
         ):
             self.compute_factor_rankings()
         u, p, i, j = self._sample_chunk(n)
@@ -931,7 +1021,78 @@ class FISM(MFBase):
         falses = self._uniform_negatives_for_users(users)
         return basket, bmask, trues, falses
 
+    # FISM/Fossil have no adaptive path; their uniform sampling defaults
+    # to the fused on-device dispatch (set False to force host sampling)
+    device_sampling = True
+
+    def _build_bucket_step(self, P: int):
+        """Fused (sample + sub-chunked SGD) dispatch compiled for basket
+        pad ``P``: per scan iteration draw one sub-chunk's users from
+        this length bucket, gather their baskets from the resident item
+        array, draw negatives by on-device rejection, and apply the
+        vectorized SGD chunk. One dispatch runs
+        ``chunks_per_dispatch * sub_chunks`` iterations."""
+        st = self._dev_sample_store
+        users_b = self._bucket_users[P]
+        nb = users_b.shape[0]
+        n = max(1, self.samples_per_step // self.sub_chunks)
+        K = self.chunks_per_dispatch * self.sub_chunks
+        trips = self._bs_trips
+        n_items = self.n_items
+        bpr = self.loss == "BPR"
+        chunk = partial(
+            self._auc_chunk if bpr else self._rmse_chunk, self.reg, self.alpha
+        )
+
+        def sample(key):
+            k1, k2, k3, k4 = jax.random.split(key, 4)
+            u = users_b[jax.random.randint(k1, (n,), 0, nb)]
+            offs, lens = st["offs"][u], st["lens"][u]
+            trues = st["items"][offs + jax.random.randint(k2, (n,), 0, lens)]
+            j = jnp.arange(P)[None, :]
+            valid = j < lens[:, None]
+            basket = st["items"][jnp.where(valid, offs[:, None] + j, 0)]
+            bmask = (valid & (basket != trues[:, None])).astype(jnp.float32)
+            basket = jnp.where(bmask > 0, basket, n_items)
+            falses = self._device_negatives(st, k3, u, trips)
+            if bpr:
+                return basket, bmask, trues, falses
+            pos = jax.random.bernoulli(k4, 0.25, (n,))
+            return (
+                basket,
+                bmask,
+                jnp.where(pos, trues, falses),
+                pos.astype(jnp.float32),
+            )
+
+        def multi(V, H, bias, key, lr):
+            def body(carry, k):
+                out = chunk(*carry, *sample(k), lr)
+                return tuple(out[:-1]), out[-1]
+
+            carry, costs = jax.lax.scan(
+                body, (V, H, bias), jax.random.split(key, K)
+            )
+            return (*carry, costs.mean())
+
+        return jax.jit(multi, donate_argnums=(0, 1, 2))
+
+    def _device_training_step(self):
+        if not hasattr(self, "_bucket_users"):
+            self._upload_bucket_store()
+        P = self._draw_bucket()
+        fn = self._bucket_steps.get(P)
+        if fn is None:
+            fn = self._bucket_steps[P] = self._build_bucket_step(P)
+        self._sample_key, sub = jax.random.split(self._sample_key)
+        self.V, self.H, self.bias, cost = fn(
+            self.V, self.H, self.bias, sub, np.float32(self.learning_rate)
+        )
+        return cost, self.samples_per_step * self.chunks_per_dispatch
+
     def training_step(self, iterations):
+        if self.device_sampling:
+            return self._device_training_step()
         n = self.samples_per_step
         basket, bmask, trues, falses = self._sample_baskets(n)
         if self.loss == "BPR":
@@ -1101,7 +1262,73 @@ class Fossil(MFBase):
         falses = self._uniform_negatives_for_users(users)
         return users, basket, bmask, recent, rmask, trues, falses
 
+    device_sampling = True  # see FISM.device_sampling
+
+    def _build_bucket_step(self, P: int):
+        """Fossil twin of FISM._build_bucket_step: prefix baskets (random
+        cut t ∈ [1, len)), the last ``order`` prefix items most-recent-
+        first, and rejection-sampled negatives — all on device."""
+        st = self._dev_sample_store
+        users_b = self._bucket_users[P]
+        nb = users_b.shape[0]
+        n = max(1, self.samples_per_step // self.sub_chunks)
+        K = self.chunks_per_dispatch * self.sub_chunks
+        trips = self._bs_trips
+        n_items = self.n_items
+        order = self.order
+        chunk = partial(self._sgd_chunk, self.reg, self.alpha, order)
+
+        def sample(key):
+            k1, k2, k3 = jax.random.split(key, 3)
+            u = users_b[jax.random.randint(k1, (n,), 0, nb)]
+            offs, lens = st["offs"][u], st["lens"][u]
+            t = jax.random.randint(k2, (n,), 1, lens)  # prefix length
+            trues = st["items"][offs + t]
+            j = jnp.arange(P)[None, :]
+            valid = j < t[:, None]
+            basket = jnp.where(
+                valid,
+                st["items"][jnp.where(valid, offs[:, None] + j, 0)],
+                n_items,
+            )
+            bmask = valid.astype(jnp.float32)
+            kk = jnp.arange(order)[None, :]
+            rvalid = kk < t[:, None]
+            ridx = jnp.where(rvalid, offs[:, None] + t[:, None] - 1 - kk, 0)
+            recent = jnp.where(rvalid, st["items"][ridx], n_items)
+            rmask = rvalid.astype(jnp.float32)
+            falses = self._device_negatives(st, k3, u, trips)
+            return basket, bmask, recent, rmask, u, trues, falses
+
+        def multi(V, H, bias, eta, eta_bias, key, lr):
+            def body(carry, k):
+                out = chunk(*carry, *sample(k), lr)
+                return tuple(out[:-1]), out[-1]
+
+            carry, costs = jax.lax.scan(
+                body, (V, H, bias, eta, eta_bias), jax.random.split(key, K)
+            )
+            return (*carry, costs.mean())
+
+        return jax.jit(multi, donate_argnums=(0, 1, 2, 3, 4))
+
+    def _device_training_step(self):
+        if not hasattr(self, "_bucket_users"):
+            self._upload_bucket_store()
+        P = self._draw_bucket()
+        fn = self._bucket_steps.get(P)
+        if fn is None:
+            fn = self._bucket_steps[P] = self._build_bucket_step(P)
+        self._sample_key, sub = jax.random.split(self._sample_key)
+        self.V, self.H, self.bias, self.eta, self.eta_bias, cost = fn(
+            self.V, self.H, self.bias, self.eta, self.eta_bias, sub,
+            np.float32(self.learning_rate),
+        )
+        return cost, self.samples_per_step * self.chunks_per_dispatch
+
     def training_step(self, iterations):
+        if self.device_sampling:
+            return self._device_training_step()
         n = self.samples_per_step
         users, basket, bmask, recent, rmask, trues, falses = self._sample_chunk(n)
         (
