@@ -173,6 +173,8 @@ def _pipeline(model, handler, K: int):
     from seqrec_tpu.data import DataHandler  # noqa: F401 (import keeps lazy deps warm)
 
     model.set_dataset(handler)
+    if model.mesh is not None and model.opt_state is None:
+        model._shard_state()  # sharded params + opt state (mesh rows)
     gen = model._payload_pipeline(
         handler.training_set, np.random.default_rng(5), K
     )
@@ -464,6 +466,19 @@ def main():
     # device-only rate from a device trace (tunnel-noise-free)
     dev_only = measure_device_only(make_model(args.batch), handler)
 
+    # single-chip GSPMD overhead: the SAME e2e loop through a 1x1 mesh
+    # (sharded params/payloads/step) vs the unsharded number above — the
+    # baseline for any pod-scaling projection
+    mesh_e2e = None
+    try:
+        from seqrec_tpu.parallel import make_mesh
+
+        mesh_model = make_model(args.batch)
+        mesh_model.set_mesh(make_mesh(n_data=1, n_model=1))
+        mesh_e2e, _ = measure_end_to_end(mesh_model, handler, steps, windows=3)
+    except Exception as exc:  # pragma: no cover - env dependent
+        print(f"mesh 1x1 row skipped: {exc}", file=sys.stderr)
+
     # baseline: cached CPU measurement at the reference operating point
     if os.path.isfile(_BASELINE_CACHE):
         with open(_BASELINE_CACHE) as f:
@@ -503,6 +518,7 @@ def main():
                 "device_only_b256": round(dev_only, 2) if dev_only else None,
                 "mfu_pct": round(mfu, 3),
                 "windows_b256": windows,
+                "mesh_1x1_e2e": round(mesh_e2e, 2) if mesh_e2e else None,
                 "cpu_b16_baseline": round(baseline, 2),
                 "config": f"GRU-{HIDDEN} L={MAX_LEN} catalog={N_ITEMS} "
                 f"B={args.batch} K={K_DISPATCH} index-wire f32",

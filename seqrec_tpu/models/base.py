@@ -97,6 +97,7 @@ class RNNBase:
         batch_size: int = BATCH_SIZE,
         seed: int = 42,
         compute_dtype: str = "float32",
+        lazy_updates: bool = False,
     ):
         self.sequence_noise = sequence_noise or SequenceNoise()
         self.recurrent_layer = recurrent_layer or RecurrentLayers()
@@ -143,6 +144,11 @@ class RNNBase:
             "ndcg": {"direction": 1},
             "blockbuster_share": {"direction": -1},
         }
+
+        # --lazy_updates: row-sparse Adam for the catalog-indexed input
+        # table (see _build_functions); changes optimizer semantics for
+        # untouched rows, so opt-in and encoded in the model filename
+        self.lazy_updates = lazy_updates
 
         self.params = None
         self.opt_state = None
@@ -336,17 +342,155 @@ class RNNBase:
         raise NotImplementedError
 
     # ------------------------------------------------------------------
+    # lazy (row-sparse) optimizer updates for the catalog input table
+    # ------------------------------------------------------------------
+    def _resolve_lazy_path(self):
+        """Pytree path of the catalog-indexed input table, or None.
+
+        Only the first recurrent layer's gather table (or the explicit
+        embedding table) qualifies: its gradient is nonzero ONLY on the
+        ≤ B·L·F rows the batch touched, while dense Adam reads+writes
+        moments for all n_items rows every step — at production catalog
+        sizes that optimizer traffic, not the matmuls, bounds the step
+        (measured in bench_matrix.json: bf16 matmuls gain nothing at
+        200k items because the step is HBM-bound)."""
+        if not self.lazy_updates:
+            return None
+        if not self.lazy_table_ok:
+            raise ValueError(
+                f"--lazy_updates: {type(self).__name__} has no recurrent-"
+                "tower input table"
+            )
+        from seqrec_tpu.models.updates import Adam
+
+        if not isinstance(self.updater, Adam):
+            raise ValueError("--lazy_updates is implemented for adam only")
+        rl = self.recurrent_layer
+        if rl.embedding_size > 0:
+            return ("tower", "embedding")
+        if rl.bidirectional:
+            raise ValueError(
+                "--lazy_updates: bidirectional towers have two input "
+                "tables (fwd/bwd); not supported"
+            )
+        return ("tower", "layer0_fwd", "W_in")
+
+    @staticmethod
+    def _split_table(tree: dict, path: tuple):
+        """(tree-without-leaf, leaf) with shallow copies along ``path``."""
+        out = dict(tree)
+        node = out
+        for key in path[:-1]:
+            node[key] = dict(node[key])
+            node = node[key]
+        leaf = node.pop(path[-1])
+        return out, leaf
+
+    @staticmethod
+    def _merge_table(tree: dict, path: tuple, leaf):
+        out = dict(tree)
+        node = out
+        for key in path[:-1]:
+            node[key] = dict(node[key])
+            node = node[key]
+        node[path[-1]] = leaf
+        return out
+
+    def _lazy_adam_rows(self, table, m, v, count, dense_grad, ids):
+        """One Adam step applied ONLY to the rows ``ids`` touches.
+
+        TF LazyAdam semantics: moments of untouched rows neither decay
+        nor contribute — a documented divergence from dense Adam (which
+        keeps applying m-momentum to rows after their last occurrence).
+        Bias correction uses the global step count. Touched rows are
+        deduplicated on device (sort + first-occurrence mask) so each
+        row's moment update applies exactly once; ``dense_grad`` already
+        holds the per-row SUM over occurrences, exactly what dense Adam
+        would see. Traffic: O(touched · G) gathers/scatters instead of
+        O(n_items · G) moment reads+writes."""
+        u = self.updater
+        lr = jnp.float32(u.learning_rate)
+        b1 = jnp.float32(u.beta1)
+        b2 = jnp.float32(u.beta2)
+        eps = jnp.float32(1e-8)  # optax.adam default (updates.Adam.make)
+
+        N = table.shape[0]
+        flat = ids.reshape(-1).astype(jnp.int32)
+        rows = jnp.where(flat < 0, N, flat)  # padded feature slots (id -1)
+        safe = jnp.minimum(rows, N - 1)
+
+        # NO dedup needed: duplicate occurrences of a row gather the SAME
+        # dense-grad row, so they compute bitwise-identical new values —
+        # scatter-SET (not add) makes duplicates idempotent. This keeps
+        # the update sort-free (a 30k-element jnp.sort costs more on TPU
+        # than the whole sparse update; measured e2e 39k vs 64k seq/s at
+        # H=256/200k with/without the sorted-dedup variant).
+        g = dense_grad[safe]
+        m_new = b1 * m[safe] + (1.0 - b1) * g
+        v_new = b2 * v[safe] + (1.0 - b2) * g * g
+        count = count + 1
+        t = count.astype(jnp.float32)
+        m_hat = m_new / (1.0 - b1**t)
+        v_hat = v_new / (1.0 - b2**t)
+        upd = -lr * m_hat / (jnp.sqrt(v_hat) + eps)
+
+        table = table.at[rows].set(table[safe] + upd, mode="drop")
+        m = m.at[rows].set(m_new, mode="drop")
+        v = v.at[rows].set(v_new, mode="drop")
+        return table, m, v, count
+
+    # ------------------------------------------------------------------
     # compiled functions
     # ------------------------------------------------------------------
     def _build_functions(self) -> None:
-        opt = self._opt = self.updater.make()
+        inner = self._opt_inner = self.updater.make()
+        lazy_path = self._lazy_path = self._resolve_lazy_path()
+
+        if lazy_path is None:
+            opt = self._opt = inner
+        else:
+            split, merge = self._split_table, self._merge_table
+
+            class _LazyTableOpt:
+                """optax-shaped ``init`` so existing call sites
+                (``self._opt.init(params)``) build the composite state
+                ``(inner_state_without_table, (m, v, count))``."""
+
+                @staticmethod
+                def init(params):
+                    rest, table = split(params, lazy_path)
+                    lazy = (
+                        jnp.zeros_like(table),
+                        jnp.zeros_like(table),
+                        jnp.zeros((), jnp.int32),
+                    )
+                    return (inner.init(rest), lazy)
+
+            opt = self._opt = _LazyTableOpt()
+
+        def one_step(params, opt_state, batch):
+            cost, grads = jax.value_and_grad(self._loss)(params, batch)
+            if lazy_path is None:
+                updates, opt_state = inner.update(grads, opt_state, params)
+                params = jax.tree_util.tree_map(
+                    lambda p, u: p + u, params, updates
+                )
+                return params, opt_state, cost
+            inner_state, (m, v, count) = opt_state
+            rest_p, table = self._split_table(params, lazy_path)
+            rest_g, table_g = self._split_table(grads, lazy_path)
+            updates, inner_state = inner.update(rest_g, inner_state, rest_p)
+            rest_p = jax.tree_util.tree_map(
+                lambda p, u: p + u, rest_p, updates
+            )
+            table, m, v, count = self._lazy_adam_rows(
+                table, m, v, count, table_g, batch["ids"]
+            )
+            params = self._merge_table(rest_p, lazy_path, table)
+            return params, (inner_state, (m, v, count)), cost
 
         def train_step(params, opt_state, batch):
-            batch = self._expand_wire(batch)
-            cost, grads = jax.value_and_grad(self._loss)(params, batch)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-            return params, opt_state, cost
+            return one_step(params, opt_state, self._expand_wire(batch))
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
 
@@ -356,12 +500,8 @@ class RNNBase:
             the remote device. Returns the summed cost."""
 
             def body(carry, batch):
-                params, opt_state = carry
-                batch = self._expand_wire(batch)
-                cost, grads = jax.value_and_grad(self._loss)(params, batch)
-                updates, opt_state = opt.update(grads, opt_state, params)
-                params = jax.tree_util.tree_map(
-                    lambda p, u: p + u, params, updates
+                params, opt_state, cost = one_step(
+                    *carry, self._expand_wire(batch)
                 )
                 return (params, opt_state), cost
 
@@ -375,12 +515,8 @@ class RNNBase:
             assembles each batch on device from the resident store."""
 
             def body(carry, ib):
-                params, opt_state = carry
-                batch = self._expand_index_wire(ib, store)
-                cost, grads = jax.value_and_grad(self._loss)(params, batch)
-                updates, opt_state = opt.update(grads, opt_state, params)
-                params = jax.tree_util.tree_map(
-                    lambda p, u: p + u, params, updates
+                params, opt_state, cost = one_step(
+                    *carry, self._expand_index_wire(ib, store)
                 )
                 return (params, opt_state), cost
 
@@ -426,6 +562,10 @@ class RNNBase:
     # subclasses with a monotone head (softmax/identity over h·W_out+b)
     # set this to route batched eval through the fused Pallas kernel
     fused_eval_head = False
+
+    # subclasses whose params carry the recurrent tower's sparse input
+    # table (models replacing the tower — FISMCluster, SDAE — opt out)
+    lazy_table_ok = True
 
     def _fused_topk(self, params, ids, id_mask, mask, seen_ids, seen_mask, k):
         """Single fused scoring+mask+top-k pass (Pallas, TPU).
@@ -1442,6 +1582,7 @@ class RNNBase:
             + self.recurrent_layer.name
             + "_"
             + self.updater.name
+            + ("_lu" if self.lazy_updates else "")
             + "_"
             + self.target_selection.name
         )

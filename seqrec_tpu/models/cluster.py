@@ -362,9 +362,29 @@ class RNNCluster(RNNBase):
     # ------------------------------------------------------------------
     # validation (cluster metric set, rnn_cluster.py:409-445), batched
     # ------------------------------------------------------------------
+    def _cluster_eval_topk(self, params, ids, id_mask, mask, seen, seen_mask):
+        """Device-side validation pass: instead of shipping the full
+        ``[chunk, n_items]`` softmax to the host (wrong shape at 10^5
+        catalogs), return only ``[chunk, 10]`` top-k ids (unrestricted
+        and cluster-restricted), the argmax cluster and the used-item
+        count — everything the cluster metric set needs
+        (rnn_cluster.py:409-445)."""
+        probs, c_sel, hard = self._cluster_assignments(params, ids, id_mask, mask)
+        if self.interactions_are_unique:
+            # zero the already-seen items (softmax probs are >= 0)
+            b = jnp.arange(probs.shape[0])[:, None]
+            safe = jnp.where(seen_mask > 0, seen, probs.shape[1])
+            probs = probs.at[b, safe].set(0.0, mode="drop")
+        used_rows = jnp.take(hard.T, c_sel, axis=0)  # [B, n_items]
+        _, top1 = jax.lax.top_k(probs, 10)
+        _, top2 = jax.lax.top_k(probs * used_rows, 10)
+        return top1, top2, c_sel, used_rows.sum(axis=1)
+
     def _compute_validation_metrics(self, metrics):
+        from seqrec_tpu.parallel import host_global
+
         if not hasattr(self, "_cluster_eval_jit"):
-            self._cluster_eval_jit = jax.jit(self._cluster_assignments)
+            self._cluster_eval_jit = jax.jit(self._cluster_eval_topk)
         clusters = np.zeros(self.n_clusters, dtype="int")
         used_items = []
         ev = evaluation.Evaluator(self.dataset, k=10)
@@ -386,24 +406,28 @@ class RNNCluster(RNNBase):
             ids, id_mask, mask = self._encode_sequences(
                 seqs + [seqs[-1]] * pad, user_ids=users + [users[-1]] * pad
             )
-            probs, c_sel, hard = self._cluster_eval_jit(
-                self.params, ids, id_mask, mask
+            # seen-item wire: the encoded ids may be truncated to
+            # max_length, but the reference masks the WHOLE input
+            # sequence (rnn_cluster.py:300-302) — ship the full id lists
+            S = max(1, max(len(s) for s in seqs))
+            seen = np.zeros((chunk, S), dtype=np.int32)
+            seen_mask = np.zeros((chunk, S), dtype=np.float32)
+            for row, seq in enumerate(seqs):
+                items = [int(i[0]) for i in seq]
+                seen[row, : len(items)] = items
+                seen_mask[row, : len(items)] = 1.0
+            top1, top2, c_sel, used_count = self._cluster_eval_jit(
+                self.params, ids, id_mask, mask, seen, seen_mask
             )
-            probs = np.array(probs)
-            c_sel = np.asarray(c_sel)
-            hard = np.asarray(hard)
+            top1 = host_global(top1)
+            top2 = host_global(top2)
+            c_sel = host_global(c_sel)
+            used_count = host_global(used_count)
             for row, (seq, goal, _) in enumerate(part):
-                p1 = probs[row].copy()
-                if self.interactions_are_unique:
-                    p1[[int(i[0]) for i in seq]] = 0.0
-                used = hard[:, c_sel[row]]
-                p2 = p1 * used
-                ev.add_instance(goal, list(np.argpartition(-p1, range(10))[:10]))
-                ev_clusters.add_instance(
-                    goal, list(np.argpartition(-p2, range(10))[:10])
-                )
+                ev.add_instance(goal, top1[row].tolist())
+                ev_clusters.add_instance(goal, top2[row].tolist())
                 clusters[c_sel[row]] += 1
-                used_items.append(used.sum())
+                used_items.append(used_count[row])
 
         repartition = np.asarray(self.params["cluster_repartition"])
         if self.cluster_type == "softmax":
@@ -622,6 +646,8 @@ class RNNCluster(RNNBase):
 class FISMCluster(RNNCluster):
     """FISM user representation + the cluster machinery
     (fism_cluster.py:19-318)."""
+
+    lazy_table_ok = False  # no recurrent tower (bag representation)
 
     def __init__(self, h=100, alpha=0.5, reg=0.00025, max_length=np.inf, **kwargs):
         # FISM consumes the whole history regardless of the CLI max_length

@@ -197,10 +197,12 @@ class RecurrentLayers:
             orf = only_return_final and last
             if self.bidirectional:
                 f = self._run_layer(
-                    params[f"layer{li}_fwd"], x, mask, id_mask, sparse, orf, False
+                    params[f"layer{li}_fwd"], x, mask, id_mask, sparse, orf, False,
+                    fast=fast,
                 )
                 b = self._run_layer(
-                    params[f"layer{li}_bwd"], x, mask, id_mask, sparse, orf, True
+                    params[f"layer{li}_bwd"], x, mask, id_mask, sparse, orf, True,
+                    fast=fast,
                 )
                 x = jnp.concatenate([f, b], axis=-1)
             else:
@@ -241,17 +243,23 @@ class RecurrentLayers:
         #    sizes (the reference's H=50) are zero-padded to the 64-lane
         #    boundary inside the fused path (2.6x XLA at H=50->64,
         #    2x at H=128, 1.8x LSTM H=128);
-        #  - train: GRU only, lane-aligned H only (the pad overhead makes
+        #  - train: GRU at lane-aligned H (the pad overhead makes
         #    padded-H training a wash, 0.95x) and B >= 64 (batch tiles
-        #    are 128-wide); the LSTM train kernel does not exist — the
-        #    XLA scan is used (measured need is low: training defaults
-        #    to GRU and the LSTM eval path IS fused);
+        #    are 128-wide); LSTM train at H >= 128 (custom-VJP kernel);
+        #  - bidirectional towers take the SAME fused paths: a backwards
+        #    scan is the forward kernel on time-flipped inputs (flip
+        #    applied below once a kernel is selected);
+        #  - Vanilla stays on the XLA scan by design: its cell is ONE
+        #    [B,H]x[H,H] matmul + tanh, which XLA already emits as a
+        #    single fused step — the Pallas win on GRU/LSTM comes from
+        #    fusing 3-4 gate nonlinearities around one big matmul and
+        #    keeping the carry VMEM-resident, a structure Vanilla
+        #    doesn't have (and no reference workload defaults to it);
         #  - either: fall back to XLA when the x_pre block cannot fit
         #    VMEM even at the minimum 128-row tile (auto_block_b None).
         if (
             fast
             and only_return_final
-            and not backwards
             and self.layer_type in ("GRU", "LSTM")
             and _pallas_available()
         ):
@@ -284,6 +292,14 @@ class RecurrentLayers:
                 fits = auto_block_b(B, L, n_gates * Hp) is not None
                 train_ok = True
             if fits and train_ok:
+                if backwards:
+                    # a backwards final state IS the forward kernel's
+                    # final state on the time-flipped inputs; the flip is
+                    # a cheap XLA op whose VJP (another flip) wraps the
+                    # kernel's custom VJP transparently, so fused eval
+                    # AND fused train cover the bidirectional towers
+                    x_pre = jnp.flip(x_pre, axis=1)
+                    mask = jnp.flip(mask, axis=1)
                 h0 = jnp.broadcast_to(lp["h0"], (B, H))
                 if self.layer_type == "LSTM":
                     c0 = jnp.broadcast_to(lp["c0"], (B, H))

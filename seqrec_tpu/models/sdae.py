@@ -31,6 +31,8 @@ def _bucket(n: int) -> int:
 
 
 class StackedDenoisingAutoencoder(RNNBase):
+    lazy_table_ok = False  # dense multi-hot input, no gather table
+
     def __init__(self, layers=(20,), input_dropout=0.2, dropout=0.5, **kwargs):
         super().__init__(**kwargs)
         self.layers = list(layers)

@@ -109,6 +109,15 @@ def predictor_command_parser(parser) -> None:
         help="Compute catalog-sized matmuls in bfloat16 (f32 accumulation).",
         action="store_true",
     )
+    parser.add_argument(
+        "--lazy_updates",
+        help="Row-sparse Adam for the catalog input table: only rows the "
+        "batch touched get moment updates (TF LazyAdam semantics). Cuts "
+        "the optimizer's HBM traffic from O(n_items) to O(batch tokens) "
+        "per step — the dominant cost at 10^5-item catalogs. RNN "
+        "families with adam only.",
+        action="store_true",
+    )
     parser.add_argument("--rf", help="Use rating features.", action="store_true")
     parser.add_argument("--mf", help="Use movie features.", action="store_true")
     parser.add_argument("--uf", help="Use users features.", action="store_true")
@@ -224,6 +233,7 @@ def get_predictor(args):
         use_users_features=args.uf,
         batch_size=args.batch_size,
         compute_dtype="bfloat16" if args.bf16 else "float32",
+        lazy_updates=args.lazy_updates,
     )
 
     if args.method == "BPRMF":

@@ -139,6 +139,79 @@ for i in range(Bk):
     np.testing.assert_allclose(scores[i, fused[i]], scores[i, dense[i]], rtol=1e-5)
 print("fused topk: OK")
 
+# --- bidirectional tower: fused kernels via the time-flip trick ---
+import os as _os
+from seqrec_tpu.models.recurrent import RecurrentLayers
+
+rl = RecurrentLayers(layer_type="GRU", layers=[128], bidirectional=True)
+bi_params = jax.tree_util.tree_map(
+    jnp.asarray, rl.init_params(np.random.default_rng(3), 500)
+)
+bi_ids = jnp.asarray(rng.integers(0, 500, size=(B, L, 1)).astype(np.int32))
+bi_mask = jnp.asarray((rng.random((B, L)) < 0.9).astype(np.float32))
+out_fused = np.asarray(rl.apply(bi_params, bi_ids, bi_mask, fast=True))
+_os.environ["SEQREC_NO_PALLAS"] = "1"
+out_xla = np.asarray(rl.apply(bi_params, bi_ids, bi_mask, fast=True))
+del _os.environ["SEQREC_NO_PALLAS"]
+np.testing.assert_allclose(out_fused, out_xla, rtol=1e-4, atol=1e-5)
+print("bidirectional fused tower: OK")
+
+# --- a GSPMD-partitioned program on the real chip: sharded train step
+# (mesh 1x1 — the runtime exposes one chip) + sharded_score_topk must
+# match the unsharded step's numerics ---
+from seqrec_tpu.models.rnn_one_hot import RNNOneHot
+from seqrec_tpu.models.updates import Adam
+from seqrec_tpu.parallel import make_mesh
+from seqrec_tpu.parallel.topk import sharded_score_topk
+
+mesh = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+
+
+def tiny_model():
+    model = RNNOneHot(
+        recurrent_layer=RecurrentLayers(layer_type="GRU", layers=[16]),
+        updater=Adam(0.01), max_length=8, batch_size=8, seed=0)
+    model._prepare_networks(64)
+    model.params = model._init_params()
+    model._build_functions()
+    return model
+
+
+batch = {
+    "ids": rng.integers(0, 64, size=(8, 8, 1)).astype(np.int32),
+    "mask": np.ones((8, 8), np.float32),
+    "targets": rng.integers(0, 64, size=(8,)).astype(np.int32),
+    "target_pop": np.ones((8,), np.float32),
+}
+plain = tiny_model()
+plain.opt_state = plain._opt.init(plain.params)
+cost_plain = float(plain.train_function(dict(batch)))
+
+sharded = tiny_model()
+sharded.set_mesh(mesh)
+sharded._shard_state()
+cost_sharded = float(sharded.train_function(dict(batch)))
+np.testing.assert_allclose(cost_sharded, cost_plain, rtol=1e-5)
+
+from jax.sharding import NamedSharding, PartitionSpec as SP
+
+hm = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32))
+tops = sharded_score_topk(
+    mesh,
+    jax.device_put(hm, NamedSharding(mesh, SP("data", None))),
+    jax.device_put(jnp.asarray(np.asarray(sharded.params["W_out"])),
+                   NamedSharding(mesh, SP(None, "model"))),
+    jax.device_put(jnp.asarray(np.asarray(sharded.params["b_out"])),
+                   NamedSharding(mesh, SP("model"))),
+    jax.device_put(jnp.asarray(batch["ids"][:, :, 0]),
+                   NamedSharding(mesh, SP("data", None))),
+    jax.device_put(jnp.asarray(batch["mask"]),
+                   NamedSharding(mesh, SP("data", None))),
+    k=5,
+)
+assert np.asarray(tops).shape == (8, 5)
+print("sharded train step + topk on device: OK")
+
 print("TPU_SMOKE_OK")
 """
 
