@@ -375,6 +375,20 @@ class RNNBase:
             )
         return ("tower", "layer0_fwd", "W_in")
 
+    def _resolve_lazy_specs(self):
+        """List of lazy-update specs ``{"path", "axis", "ids"}`` — the
+        pytree leaf, the axis its touched slices live on, and a callable
+        extracting the touched indices from the (expanded) batch.
+
+        The base resolution covers the input gather table (rows =
+        batch ids). Models whose OUTPUT gradient is also sparse (the
+        sampled-softmax head: only the target+sample columns score)
+        override this with head specs — see RNNSampling."""
+        path = self._resolve_lazy_path()
+        if path is None:
+            return None
+        return [{"path": path, "axis": 0, "ids": lambda b: b["ids"]}]
+
     @staticmethod
     def _split_table(tree: dict, path: tuple):
         """(tree-without-leaf, leaf) with shallow copies along ``path``."""
@@ -396,47 +410,51 @@ class RNNBase:
         node[path[-1]] = leaf
         return out
 
-    def _lazy_adam_rows(self, table, m, v, count, dense_grad, ids):
-        """One Adam step applied ONLY to the rows ``ids`` touches.
+    def _lazy_adam_update(self, table, m, v, count, dense_grad, ids, axis):
+        """One Adam step applied ONLY to the slices ``ids`` touches
+        (rows for ``axis=0``, columns for ``axis=1``).
 
-        TF LazyAdam semantics: moments of untouched rows neither decay
+        TF LazyAdam semantics: moments of untouched slices neither decay
         nor contribute — a documented divergence from dense Adam (which
         keeps applying m-momentum to rows after their last occurrence).
-        Bias correction uses the global step count. Touched rows are
-        deduplicated on device (sort + first-occurrence mask) so each
-        row's moment update applies exactly once; ``dense_grad`` already
-        holds the per-row SUM over occurrences, exactly what dense Adam
-        would see. Traffic: O(touched · G) gathers/scatters instead of
-        O(n_items · G) moment reads+writes."""
+        Bias correction uses the global step count. NO dedup is needed:
+        duplicate occurrences of an index gather the SAME dense-grad
+        slice, so they compute bitwise-identical new values and a
+        scatter-SET makes duplicates idempotent. (A sorted-dedup variant
+        was measured strictly worse: a 30k-element ``jnp.sort`` costs
+        more on TPU than the sparse update itself.) Traffic:
+        O(touched · slice) gathers/scatters instead of O(table) moment
+        reads+writes — a WIN for the ~1k-column sampled head, a LOSS for
+        ~30k-row input-table updates (TPU scatters run far below HBM
+        streaming speed; numbers in BASELINE.md)."""
         u = self.updater
         lr = jnp.float32(u.learning_rate)
         b1 = jnp.float32(u.beta1)
         b2 = jnp.float32(u.beta2)
         eps = jnp.float32(1e-8)  # optax.adam default (updates.Adam.make)
 
-        N = table.shape[0]
+        N = table.shape[axis]
         flat = ids.reshape(-1).astype(jnp.int32)
-        rows = jnp.where(flat < 0, N, flat)  # padded feature slots (id -1)
-        safe = jnp.minimum(rows, N - 1)
+        idx = jnp.where(flat < 0, N, flat)  # padded feature slots (id -1)
+        safe = jnp.minimum(idx, N - 1)
 
-        # NO dedup needed: duplicate occurrences of a row gather the SAME
-        # dense-grad row, so they compute bitwise-identical new values —
-        # scatter-SET (not add) makes duplicates idempotent. This keeps
-        # the update sort-free (a 30k-element jnp.sort costs more on TPU
-        # than the whole sparse update; measured e2e 39k vs 64k seq/s at
-        # H=256/200k with/without the sorted-dedup variant).
-        g = dense_grad[safe]
-        m_new = b1 * m[safe] + (1.0 - b1) * g
-        v_new = b2 * v[safe] + (1.0 - b2) * g * g
+        take = lambda a: jnp.take(a, safe, axis=axis)  # noqa: E731
+        g = take(dense_grad)
+        m_new = b1 * take(m) + (1.0 - b1) * g
+        v_new = b2 * take(v) + (1.0 - b2) * g * g
         count = count + 1
         t = count.astype(jnp.float32)
         m_hat = m_new / (1.0 - b1**t)
         v_hat = v_new / (1.0 - b2**t)
         upd = -lr * m_hat / (jnp.sqrt(v_hat) + eps)
 
-        table = table.at[rows].set(table[safe] + upd, mode="drop")
-        m = m.at[rows].set(m_new, mode="drop")
-        v = v.at[rows].set(v_new, mode="drop")
+        if axis == 0:
+            at = lambda a: a.at[idx]  # noqa: E731
+        else:
+            at = lambda a: a.at[:, idx]  # noqa: E731
+        table = at(table).set(take(table) + upd, mode="drop")
+        m = at(m).set(m_new, mode="drop")
+        v = at(v).set(v_new, mode="drop")
         return table, m, v, count
 
     # ------------------------------------------------------------------
@@ -444,50 +462,64 @@ class RNNBase:
     # ------------------------------------------------------------------
     def _build_functions(self) -> None:
         inner = self._opt_inner = self.updater.make()
-        lazy_path = self._lazy_path = self._resolve_lazy_path()
+        specs = self._lazy_specs = self._resolve_lazy_specs()
 
-        if lazy_path is None:
+        if not specs:
             opt = self._opt = inner
         else:
-            split, merge = self._split_table, self._merge_table
+            split = self._split_table
 
             class _LazyTableOpt:
                 """optax-shaped ``init`` so existing call sites
                 (``self._opt.init(params)``) build the composite state
-                ``(inner_state_without_table, (m, v, count))``."""
+                ``(inner_state_without_lazy_leaves, per-spec (m, v, count))``."""
 
                 @staticmethod
                 def init(params):
-                    rest, table = split(params, lazy_path)
-                    lazy = (
-                        jnp.zeros_like(table),
-                        jnp.zeros_like(table),
-                        jnp.zeros((), jnp.int32),
-                    )
-                    return (inner.init(rest), lazy)
+                    rest = params
+                    states = []
+                    for sp in specs:
+                        rest, table = split(rest, sp["path"])
+                        states.append(
+                            (
+                                jnp.zeros_like(table),
+                                jnp.zeros_like(table),
+                                jnp.zeros((), jnp.int32),
+                            )
+                        )
+                    return (inner.init(rest), tuple(states))
 
             opt = self._opt = _LazyTableOpt()
 
         def one_step(params, opt_state, batch):
             cost, grads = jax.value_and_grad(self._loss)(params, batch)
-            if lazy_path is None:
+            if not specs:
                 updates, opt_state = inner.update(grads, opt_state, params)
                 params = jax.tree_util.tree_map(
                     lambda p, u: p + u, params, updates
                 )
                 return params, opt_state, cost
-            inner_state, (m, v, count) = opt_state
-            rest_p, table = self._split_table(params, lazy_path)
-            rest_g, table_g = self._split_table(grads, lazy_path)
+            inner_state, lazy_states = opt_state
+            rest_p, rest_g, tables, tgrads = params, grads, [], []
+            for sp in specs:
+                rest_p, table = self._split_table(rest_p, sp["path"])
+                rest_g, tg = self._split_table(rest_g, sp["path"])
+                tables.append(table)
+                tgrads.append(tg)
             updates, inner_state = inner.update(rest_g, inner_state, rest_p)
             rest_p = jax.tree_util.tree_map(
                 lambda p, u: p + u, rest_p, updates
             )
-            table, m, v, count = self._lazy_adam_rows(
-                table, m, v, count, table_g, batch["ids"]
-            )
-            params = self._merge_table(rest_p, lazy_path, table)
-            return params, (inner_state, (m, v, count)), cost
+            new_states = []
+            for sp, table, tg, (m, v, count) in zip(
+                specs, tables, tgrads, lazy_states
+            ):
+                table, m, v, count = self._lazy_adam_update(
+                    table, m, v, count, tg, sp["ids"](batch), sp["axis"]
+                )
+                rest_p = self._merge_table(rest_p, sp["path"], table)
+                new_states.append((m, v, count))
+            return rest_p, (inner_state, tuple(new_states)), cost
 
         def train_step(params, opt_state, batch):
             return one_step(params, opt_state, self._expand_wire(batch))
@@ -574,14 +606,21 @@ class RNNBase:
         model's ``_scores`` (softmax/identity heads). Returns None to fall
         back to the two-pass XLA path."""
         from seqrec_tpu.models.recurrent import _pallas_available
-        from seqrec_tpu.ops.pallas_topk import fused_score_topk
+        from seqrec_tpu.ops.pallas_topk import (
+            FUSED_TOPK_MAX_ITEMS,
+            fused_score_topk,
+        )
 
         # the kernel unrolls k insertion steps; bail out for large k
         # (e.g. the --save_rank full-ranking path where k == n_items)
+        # and for large catalogs, where XLA's streaming three-pass beats
+        # the kernel's per-tile insertion overhead (measured crossover
+        # in ops/pallas_topk.py FUSED_TOPK_MAX_ITEMS)
         if (
             not (self.fused_eval_head and _pallas_available())
             or seen_ids is None
             or k > 64
+            or self.n_items > FUSED_TOPK_MAX_ITEMS
         ):
             return None
         h = self.recurrent_layer.apply(params["tower"], ids, mask, id_mask, fast=True)

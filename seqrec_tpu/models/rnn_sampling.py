@@ -138,6 +138,25 @@ class RNNSampling(RNNBase):
     # plus the host-drawn negative-sample sets shipped as an extra
     index_wire_ok = True
 
+    def _resolve_lazy_specs(self):
+        """Sampled losses score ONLY the target+sample columns, so the
+        head gradient is column-sparse: ~B+S of n_items columns per
+        step. --lazy_updates therefore moves the HEAD (W_out columns +
+        b_out entries) onto the lazy path — where the touched set is
+        ~1k slices, the sparse update wins (unlike the ~30k-row input
+        table, which measured slower lazy; BASELINE.md). The input
+        table keeps dense Adam."""
+        if self._resolve_lazy_path() is None:
+            return None
+
+        def cols(batch):
+            return jnp.concatenate([batch["targets"], batch["samples"]])
+
+        return [
+            {"path": ("W_out",), "axis": 1, "ids": cols},
+            {"path": ("b_out",), "axis": 0, "ids": cols},
+        ]
+
     def _index_payload_extras(self, k):
         samples = np.stack([self._draw_samples() for _ in range(k)])
         return {"samples": samples if k > 1 else samples[0]}

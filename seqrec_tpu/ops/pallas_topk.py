@@ -31,6 +31,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float("-inf")
 
+# Catalog-size gate for the fused kernel, from v5e wall-clock sweeps at
+# B=512/H=256 (2026-08-21): the kernel's per-tile cost is dominated by
+# the k extract-max passes + k^2 insertion slots, which scale with the
+# number of catalog tiles — 2.4 ms (tie with XLA) at 3.7k items, 1.2x
+# slower at 12.8k, 1.5x at 50k, and 1.6x at 200k even with tuned tiles
+# (block_b=256, block_n=2048; the bb=16 default was 16x slower there).
+# XLA's three-pass (matmul, mask-scatter, lax.top_k) streams [B, N]
+# through HBM at full bandwidth, so it wins once N is large enough that
+# per-tile overhead beats the extra HBM passes. Device traces at the
+# reference catalog (3.7k, eval chunks) still show the fused kernel
+# 2.6x ahead — keep it there, fall back above the crossover.
+FUSED_TOPK_MAX_ITEMS = 8192
+
+
+def auto_topk_blocks(B: int, N: int) -> tuple:
+    """(block_b, block_n): large batch tiles amortize the per-grid-cell
+    insertion overhead (measured 192 -> 54 ms at N=200k moving bb 16 ->
+    128); wider catalog tiles cut the tile count once N is large."""
+    block_b = min(256, B)
+    block_n = 512 if N <= 8192 else 2048
+    return block_b, block_n
+
 
 def _topk_kernel(
     h_ref, w_ref, b_ref, seen_ref, seen_mask_ref, outv_ref, outi_ref,
@@ -102,8 +124,8 @@ def fused_score_topk(
     seen_mask,
     *,
     k: int = 10,
-    block_b: int = 16,
-    block_n: int = 512,
+    block_b: int | None = None,
+    block_n: int | None = None,
     interpret: bool = False,
 ):
     """Top-k item ids (sorted best-first) and their scores.
@@ -114,7 +136,13 @@ def fused_score_topk(
     """
     B, H = h.shape
     N = w_out.shape[1]
+    auto_b, auto_n = auto_topk_blocks(B, N)
+    block_b = auto_b if block_b is None else block_b
+    block_n = auto_n if block_n is None else block_n
     block_b = min(block_b, B)
+    # VMEM guard: w tile + scores tile must fit alongside h/seen/top-k
+    while block_n > 512 and (H + block_b) * block_n * 4 > 12e6:
+        block_n //= 2
     pad_b = (-B) % block_b
     pad_n = (-N) % block_n
     if pad_b:

@@ -134,3 +134,73 @@ def test_lazy_cli_end_to_end(synthetic_dataset):
     assert res[0]["sps"] is not None
     files = glob.glob(str(synthetic_dataset) + "models/lazy/*_lu_*")
     assert files, "lazy flag must be encoded in the checkpoint filename"
+
+
+def test_lazy_sampled_head_matches_dense_on_full_coverage():
+    """RNNSampling's lazy head: when targets+samples cover EVERY column,
+    lazy column-Adam equals dense Adam on W_out/b_out."""
+    from seqrec_tpu.models.rnn_sampling import RNNSampling
+
+    def build(lazy):
+        model = RNNSampling(
+            loss_function="BPR", sampling=N_ITEMS,  # samples cover catalog
+            recurrent_layer=RecurrentLayers(layer_type="GRU", layers=[6]),
+            updater=Adam(0.01), max_length=4, batch_size=4, seed=0,
+            lazy_updates=lazy,
+        )
+        model._prepare_networks(N_ITEMS)
+        model.params = model._init_params()
+        model._build_functions()
+        model.opt_state = model._opt.init(model.params)
+        return model
+
+    rng = np.random.default_rng(0)
+    dense, lazy = build(False), build(True)
+    for _ in range(3):
+        batch = {
+            "ids": rng.integers(0, N_ITEMS, size=(4, 4, 1)).astype(np.int32),
+            "mask": np.ones((4, 4), np.float32),
+            "targets": rng.integers(0, N_ITEMS, size=(4,)).astype(np.int32),
+            "target_pop": np.ones((4,), np.float32),
+            "samples": np.arange(N_ITEMS, dtype=np.int32),  # all columns
+        }
+        cd = dense.train_function(dict(batch))
+        cl = lazy.train_function(dict(batch))
+        np.testing.assert_allclose(float(cd), float(cl), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(dense.params["W_out"]), np.asarray(lazy.params["W_out"]),
+        rtol=2e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dense.params["b_out"]), np.asarray(lazy.params["b_out"]),
+        rtol=2e-5, atol=1e-6,
+    )
+
+
+def test_lazy_sampled_head_freezes_unsampled_columns():
+    from seqrec_tpu.models.rnn_sampling import RNNSampling
+
+    model = RNNSampling(
+        loss_function="BPR", sampling=2,
+        recurrent_layer=RecurrentLayers(layer_type="GRU", layers=[6]),
+        updater=Adam(0.01), max_length=4, batch_size=4, seed=0,
+        lazy_updates=True,
+    )
+    model._prepare_networks(N_ITEMS)
+    model.params = model._init_params()
+    model._build_functions()
+    model.opt_state = model._opt.init(model.params)
+    w0 = np.asarray(model.params["W_out"]).copy()
+    rng = np.random.default_rng(1)
+    batch = {
+        "ids": rng.integers(0, N_ITEMS, size=(4, 4, 1)).astype(np.int32),
+        "mask": np.ones((4, 4), np.float32),
+        "targets": np.array([0, 1, 0, 1], np.int32),
+        "target_pop": np.ones((4,), np.float32),
+        "samples": np.array([2, 3], np.int32),
+    }
+    for _ in range(2):
+        model.train_function(dict(batch))
+    w = np.asarray(model.params["W_out"])
+    np.testing.assert_array_equal(w[:, 4:], w0[:, 4:])  # untouched columns
+    assert np.abs(w[:, :4] - w0[:, :4]).max() > 0
