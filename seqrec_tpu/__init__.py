@@ -56,6 +56,14 @@ def _enable_persistent_compile_cache() -> None:
 
     if os.environ.get("SEQREC_NO_COMPILE_CACHE"):
         return
+    # XLA:CPU reloading AOT-cached executables intermittently aborts on
+    # scatter-heavy sharded programs (observed even for same-machine
+    # cache entries; the loader's machine-feature diagnostics point at
+    # codegen/host drift). The cache only meaningfully helps the
+    # TPU-side CLI sweeps, so leave it off whenever CPU is the selected
+    # platform (tests, the driver's virtual-mesh dryrun).
+    if os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip().lower() == "cpu":
+        return
     try:
         import jax
 

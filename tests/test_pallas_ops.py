@@ -229,3 +229,26 @@ def test_lstm_scan_matches_tower():
                   block_b=4, interpret=True)
     )
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_topk_gates_off_at_large_catalogs(monkeypatch):
+    """Above the measured crossover the eval path must use the XLA
+    three-pass, not the fused kernel (ops/pallas_topk.py gate)."""
+    from seqrec_tpu.models.recurrent import RecurrentLayers
+    from seqrec_tpu.models.rnn_one_hot import RNNOneHot
+    from seqrec_tpu.models.updates import Adam
+    from seqrec_tpu.ops import pallas_topk
+
+    import seqrec_tpu.models.recurrent as recurrent_mod
+
+    monkeypatch.setattr(recurrent_mod, "_pallas_available", lambda: True)
+
+    def build(n_items):
+        model = RNNOneHot(
+            recurrent_layer=RecurrentLayers(layer_type="GRU", layers=[4]),
+            updater=Adam(0.01), max_length=4, batch_size=4, seed=0)
+        model._prepare_networks(n_items)
+        return model
+
+    big = build(pallas_topk.FUSED_TOPK_MAX_ITEMS + 1)
+    assert big._fused_topk(None, None, None, None, np.zeros((2, 2)), None, 10) is None
