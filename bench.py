@@ -64,20 +64,33 @@ _BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "benc
 _TRACE_DIR = "/tmp/seqrec_bench_trace"
 
 
+def make_updater(opt: str):
+    from seqrec_tpu.models.updates import Adagrad, Adam
+
+    if opt == "adam":
+        return Adam(0.001)
+    if opt == "adam_bf16m":
+        return Adam(0.001, moment_dtype="bfloat16")
+    if opt == "adagrad":
+        return Adagrad(0.1)
+    raise ValueError(opt)
+
+
 def make_model(
     batch_size: int,
     hidden: int = HIDDEN,
     n_items: int = N_ITEMS,
     compute_dtype: str = "float32",
     device_init: bool = False,
+    tower: str = "GRU",
+    opt: str = "adam",
 ):
     from seqrec_tpu.models.recurrent import RecurrentLayers
     from seqrec_tpu.models.rnn_one_hot import RNNOneHot
-    from seqrec_tpu.models.updates import Adam
 
     model = RNNOneHot(
-        recurrent_layer=RecurrentLayers(layer_type="GRU", layers=[hidden]),
-        updater=Adam(0.001),
+        recurrent_layer=RecurrentLayers(layer_type=tower, layers=[hidden]),
+        updater=make_updater(opt),
         max_length=MAX_LEN,
         batch_size=batch_size,
         seed=0,
@@ -85,36 +98,43 @@ def make_model(
     )
     model._prepare_networks(n_items)
     if device_init:
-        model.params = _device_init_params(hidden, n_items)
+        model.params = _device_init_params(hidden, n_items, tower)
     else:
         model.params = model._init_params()
     model._build_functions()
     return model
 
 
-def _device_init_params(H: int, N: int):
-    """Flagship CCE-GRU parameter pytree initialized ON DEVICE.
+def _device_init_params(H: int, N: int, tower: str = "GRU"):
+    """Flagship CCE parameter pytree initialized ON DEVICE.
 
     The host-side `_init_params` + transfer costs minutes through the
     remote-TPU tunnel at 10^5-catalog shapes (~6 MB/s effective for the
     ~2.4 GB params+opt-state of H=256/N=200k); the matrix bench only
     measures throughput, so value-parity of the init doesn't matter —
-    shapes and dtypes do. Mirrors RNNOneHot._init_params's layout."""
+    shapes and dtypes do. Mirrors RecurrentLayers.init_params's layout
+    (GRU: 3 gate sections; LSTM: 4 plus cell state and peepholes)."""
     import jax
     import jax.numpy as jnp
 
+    G = 4 if tower == "LSTM" else 3
+
     def init(key):
-        ks = jax.random.split(key, 4)
+        ks = jax.random.split(key, 8)
         limit = (6.0 / (H + N)) ** 0.5
+        layer = {
+            "W_in": 0.1 * jax.random.normal(ks[0], (N, G * H), jnp.float32),
+            "W_hid": 0.1 * jax.random.normal(ks[1], (H, G * H), jnp.float32),
+            "b": jnp.zeros((G * H,), jnp.float32),
+            "h0": jnp.zeros((H,), jnp.float32),
+        }
+        if tower == "LSTM":
+            layer["c0"] = jnp.zeros((H,), jnp.float32)
+            layer["w_ci"] = 0.1 * jax.random.normal(ks[3], (H,), jnp.float32)
+            layer["w_cf"] = 0.1 * jax.random.normal(ks[4], (H,), jnp.float32)
+            layer["w_co"] = 0.1 * jax.random.normal(ks[5], (H,), jnp.float32)
         return {
-            "tower": {
-                "layer0_fwd": {
-                    "W_in": 0.1 * jax.random.normal(ks[0], (N, 3 * H), jnp.float32),
-                    "W_hid": 0.1 * jax.random.normal(ks[1], (H, 3 * H), jnp.float32),
-                    "b": jnp.zeros((3 * H,), jnp.float32),
-                    "h0": jnp.zeros((H,), jnp.float32),
-                }
-            },
+            "tower": {"layer0_fwd": layer},
             "W_out": jax.random.uniform(
                 ks[2], (H, N), jnp.float32, -limit, limit
             ),
@@ -251,29 +271,82 @@ def measure_device_only(model, handler, n_dispatch: int = 3, K: int = K_DISPATCH
         shutil.rmtree(_TRACE_DIR, ignore_errors=True)
 
 
-def flops_per_sequence(H: int = HIDDEN, N: int = N_ITEMS, L: int = MAX_LEN) -> float:
-    """Analytic fwd+bwd model FLOPs per trained sequence (GRU tower +
-    catalog softmax; gather-sum input contributes no matmul FLOPs)."""
-    fwd = 2 * H * (3 * H) * L + 2 * H * N  # time scan + output matmul
+def flops_per_sequence(
+    H: int = HIDDEN, N: int = N_ITEMS, L: int = MAX_LEN, tower: str = "GRU"
+) -> float:
+    """Analytic fwd+bwd model FLOPs per trained sequence (recurrent tower
+    + catalog softmax; gather-sum input contributes no matmul FLOPs)."""
+    G = 4 if tower == "LSTM" else 3
+    fwd = 2 * H * (G * H) * L + 2 * H * N  # time scan + output matmul
     return 3.0 * fwd  # backward ~2x forward
 
 
 # ----------------------------------------------------------------------
-# MXU-shape matrix: {H} x {catalog} x {dtype} at deployment batch size.
-# The parity config (GRU-50 / 3.7k catalog) leaves the MXU ~97.5% idle by
-# construction; these shapes are where the TPU-first design (bf16 catalog
-# matmuls, fused Pallas train scan, index wire) actually engages.
+# MXU-shape matrix: {H} x {catalog} x {dtype} at deployment batch sizes,
+# plus the round-4 optimizer-traffic rows. The parity config (GRU-50 /
+# 3.7k catalog) leaves the MXU ~97.5% idle by construction; these shapes
+# are where the TPU-first design (bf16 catalog matmuls, fused Pallas
+# train scan, index wire) actually engages.
+#
+# Round-3 finding (BASELINE.md): at H=256/200k the step is bound by
+# dense-Adam HBM traffic (~5.7 GB/step of moment+param passes vs ~3.6 ms
+# of matmul), capping MFU at 17.8%. The round-4 rows measure the two
+# countermeasures: (a) batch scaling — the optimizer pass is per-STEP, so
+# B=2048..8192 amortizes it per-sample near-linearly; (b) reduced
+# optimizer state — adagrad (one accumulator) and bf16-moment Adam (half
+# the moment bytes). bf16 matmuls are re-measured at the winning config.
 # ----------------------------------------------------------------------
 MATRIX_BATCH = 1024
 MATRIX_K = 32
-MATRIX_SHAPES = (
-    # (hidden, catalog_items, n_users) — dataset sized so every item
-    # appears (uniform draws; see data/synthetic.generate_interactions_vec)
-    (128, 50_000, 20_000),
-    (128, 200_000, 50_000),
-    (256, 50_000, 20_000),
-    (256, 200_000, 50_000),
-)
+
+_USERS = {50_000: 20_000, 200_000: 50_000}
+
+
+def matrix_configs():
+    """Row configs: dicts with H/catalog/dtype and optional B (default
+    MATRIX_BATCH), opt (default adam), tower (default GRU)."""
+    rows = []
+    # round-3 base grid: H x catalog x dtype at B=1024, adam
+    for H in (128, 256):
+        for N in (50_000, 200_000):
+            for dtype in ("f32", "bf16"):
+                rows.append({"H": H, "catalog": N, "dtype": dtype})
+    # (a) batch scaling at the MFU-peak shape
+    for B in (2048, 4096, 8192):
+        rows.append({"H": 256, "catalog": 200_000, "dtype": "f32", "B": B})
+    # (b) reduced-state optimizers at the same shape
+    for opt in ("adagrad", "adam_bf16m"):
+        rows.append({"H": 256, "catalog": 200_000, "dtype": "f32", "opt": opt})
+        rows.append(
+            {"H": 256, "catalog": 200_000, "dtype": "f32", "opt": opt, "B": 4096}
+        )
+    # bf16 matmuls re-measured once the optimizer share shrinks
+    rows.append({"H": 256, "catalog": 200_000, "dtype": "bf16", "B": 4096})
+    rows.append(
+        {
+            "H": 256,
+            "catalog": 200_000,
+            "dtype": "bf16",
+            "B": 4096,
+            "opt": "adam_bf16m",
+        }
+    )
+    # LSTM e2e rows (pallas_lstm_train engages at H>=128)
+    for N in (50_000, 200_000):
+        rows.append({"H": 128, "catalog": N, "dtype": "f32", "tower": "LSTM"})
+    # XLA-scan controls (SEQREC_NO_PALLAS): the train kernels' e2e
+    # contribution, measured rather than asserted from per-op traces
+    for tower in ("GRU", "LSTM"):
+        rows.append(
+            {
+                "H": 128,
+                "catalog": 200_000,
+                "dtype": "f32",
+                "tower": tower,
+                "no_pallas": True,
+            }
+        )
+    return rows
 
 
 def _ensure_matrix_dataset(n_items: int, n_users: int) -> str:
@@ -320,18 +393,55 @@ def load_or_run_matrix(force: bool = False):
     return result
 
 
+def pallas_train_engaged(tower: str, H: int, B: int) -> bool:
+    """Mirror of the train-kernel gating in recurrent.py (measured win
+    regions + VMEM fit) so matrix rows record whether the shape engaged
+    the fused custom-VJP scan."""
+    if os.environ.get("SEQREC_NO_PALLAS"):
+        return False
+    Hp = -(-H // 64) * 64
+    G = 4 if tower == "LSTM" else 3
+    if tower == "LSTM":
+        from seqrec_tpu.ops.pallas_lstm_train import lstm_train_block_b
+
+        fits = lstm_train_block_b(B, Hp, G * Hp) is not None
+        wins = Hp >= 128
+    else:
+        from seqrec_tpu.ops.pallas_rnn_train import train_block_b
+
+        fits = train_block_b(B, Hp, G * Hp) is not None
+        wins = Hp >= 128 or B <= 256
+    return bool(fits and H == Hp and B >= 64 and wins)
+
+
+def _row_key(cfg: dict) -> str:
+    key = "{}-{}-{}-{}-B{}".format(
+        cfg.get("tower", "GRU"),
+        cfg["H"],
+        cfg["catalog"],
+        cfg["dtype"],
+        cfg.get("B", MATRIX_BATCH),
+    )
+    if cfg.get("opt", "adam") != "adam":
+        key += "-" + cfg["opt"]
+    if cfg.get("no_pallas"):
+        key += "-xla"
+    return key
+
+
 def run_matrix(windows: int = 3, n_dispatch: int = 2):
-    """e2e + device-only rate and MFU for each MXU-relevant shape.
+    """e2e + device-only rate and MFU for each MXU-relevant config
+    (see matrix_configs for the row list and rationale).
 
     MFU is computed against the peak of the dtype the catalog matmul
     (the dominant FLOP term) runs in: 197 TFLOP/s bf16, 98.5 f32 (v5e).
 
     Resumable: each finished config is appended to a partial file so an
     interrupted run (the per-config compile takes minutes through the
-    tunnel) picks up where it left off.
+    tunnel) picks up where it left off. A config that exhausts HBM is
+    recorded as an ``error`` row rather than aborting the matrix.
     """
     from seqrec_tpu.data import DataHandler
-    from seqrec_tpu.ops.pallas_rnn_train import train_block_b
 
     partial = _MATRIX_CACHE + ".partial"
     done = {}
@@ -339,55 +449,82 @@ def run_matrix(windows: int = 3, n_dispatch: int = 2):
         with open(partial) as f:
             for line in f:
                 row = json.loads(line)
-                done[(row["H"], row["catalog"], row["dtype"])] = row
+                done[row.get("key") or _row_key(row)] = row
 
     rows = []
-    for hidden, n_items, n_users in MATRIX_SHAPES:
-        handler = DataHandler(_ensure_matrix_dataset(n_items, n_users))
-        for dtype in ("float32", "bfloat16"):
-            key = (hidden, int(handler.n_items), "bf16" if dtype == "bfloat16" else "f32")
-            if key in done:
-                rows.append(done[key])
-                continue
+    handlers: dict = {}
+    for cfg in matrix_configs():
+        key = _row_key(cfg)
+        if key in done:
+            rows.append(done[key])
+            continue
+        hidden, n_items = cfg["H"], cfg["catalog"]
+        B = cfg.get("B", MATRIX_BATCH)
+        tower = cfg.get("tower", "GRU")
+        opt = cfg.get("opt", "adam")
+        dtype = "bfloat16" if cfg["dtype"] == "bf16" else "float32"
+        if n_items not in handlers:
+            handlers[n_items] = DataHandler(
+                _ensure_matrix_dataset(n_items, _USERS[n_items])
+            )
+        handler = handlers[n_items]
+        row = {
+            "key": key,
+            "H": hidden,
+            "catalog": int(handler.n_items),
+            "dtype": cfg["dtype"],
+            "B": B,
+            "tower": tower,
+            "opt": opt,
+        }
+        if cfg.get("no_pallas"):
+            row["no_pallas"] = True
+        prev_np = os.environ.get("SEQREC_NO_PALLAS")
+        try:
+            if cfg.get("no_pallas"):
+                # read at trace time (recurrent._pallas_available), so
+                # setting it before the model's functions are built (and
+                # first traced) pins this row to the XLA scan
+                os.environ["SEQREC_NO_PALLAS"] = "1"
             model = make_model(
-                MATRIX_BATCH, hidden=hidden, n_items=handler.n_items,
-                compute_dtype=dtype, device_init=True,
+                B, hidden=hidden, n_items=handler.n_items,
+                compute_dtype=dtype, device_init=True, tower=tower, opt=opt,
             )
             value, win = measure_end_to_end(
                 model, handler, steps=n_dispatch * MATRIX_K,
                 windows=windows, K=MATRIX_K,
             )
-            dev_only = measure_device_only(
-                make_model(
-                    MATRIX_BATCH, hidden=hidden, n_items=handler.n_items,
-                    compute_dtype=dtype, device_init=True,
-                ),
-                handler, K=MATRIX_K,
-            )
+            # reuse the SAME compiled model for the device trace — the
+            # program is identical, so a fresh compile would only pay
+            # the tunnel's 230-580 s compile queue again
+            dev_only = measure_device_only(model, handler, K=MATRIX_K)
             peak = 197e12 if dtype == "bfloat16" else 197e12 / 2
-            mfu = ((dev_only or value) * flops_per_sequence(hidden, handler.n_items)) / peak * 100.0
-            # the fused Pallas GRU train kernel gates on at lane-aligned
-            # H>=128 (recurrent.py); record whether this shape engaged it
-            fused = (
-                train_block_b(MATRIX_BATCH, hidden, 3 * hidden) is not None
-                and hidden % 64 == 0
-                and (hidden >= 128 or MATRIX_BATCH <= 256)
+            mfu = (
+                (dev_only or value)
+                * flops_per_sequence(hidden, handler.n_items, tower=tower)
+            ) / peak * 100.0
+            row.update(
+                e2e_seq_per_s=round(value, 1),
+                device_only=round(dev_only, 1) if dev_only else None,
+                mfu_pct=round(mfu, 2),
+                pallas_train=pallas_train_engaged(tower, hidden, B),
+                windows=win,
             )
-            rows.append(
-                {
-                    "H": hidden,
-                    "catalog": int(handler.n_items),
-                    "dtype": "bf16" if dtype == "bfloat16" else "f32",
-                    "e2e_seq_per_s": round(value, 1),
-                    "device_only": round(dev_only, 1) if dev_only else None,
-                    "mfu_pct": round(mfu, 2),
-                    "pallas_train": bool(fused),
-                    "windows": win,
-                }
-            )
-            with open(partial, "a") as f:
-                f.write(json.dumps(rows[-1]) + "\n")
-            print(json.dumps({"matrix_row": rows[-1]}), file=sys.stderr, flush=True)
+        except Exception as exc:  # record OOMs, keep the matrix going
+            msg = str(exc)
+            if "RESOURCE_EXHAUSTED" not in msg and "exhausted" not in msg.lower():
+                raise
+            row.update(error="RESOURCE_EXHAUSTED", detail=msg[:300])
+        finally:
+            if cfg.get("no_pallas"):
+                if prev_np is None:
+                    os.environ.pop("SEQREC_NO_PALLAS", None)
+                else:
+                    os.environ["SEQREC_NO_PALLAS"] = prev_np
+        rows.append(row)
+        with open(partial, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        print(json.dumps({"matrix_row": row}), file=sys.stderr, flush=True)
     if os.path.isfile(partial):
         os.remove(partial)
     return rows
