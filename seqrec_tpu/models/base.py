@@ -966,9 +966,11 @@ class RNNBase:
 
     def _index_payload_extras(self, k: int) -> dict:
         """Model hook: host-side fields to ship alongside the (rows,
-        cuts) indices, stacked on the leading K axis (e.g. the sampled
-        losses' per-step negative-sample sets, which must keep their
-        host RNG draw order)."""
+        cuts) indices, ALWAYS stacked on a leading k axis — even for
+        k=1, since a stacked K=1 dispatch still scans over that axis
+        (the unstacked wire squeezes it in ``_gen_index_mini_batch``).
+        E.g. the sampled losses' per-step negative-sample sets, which
+        must keep their host RNG draw order."""
         return {}
 
     def _build_index_store(self, training_set) -> dict:
@@ -1020,14 +1022,15 @@ class RNNBase:
         for sel_rows, sel_cuts in self._gen_cut_indices(training_set, rng, B):
             rows = sel_rows.astype(np.int32)  # astype copies the buffer
             cuts = sel_cuts.astype(np.int32)
+            extras = self._index_payload_extras(max(1, n_stack))
             if n_stack:
                 rows = rows.reshape(n_stack, self.batch_size)
                 cuts = cuts.reshape(n_stack, self.batch_size)
-            yield {
-                "rows": rows,
-                "cuts": cuts,
-                **self._index_payload_extras(max(1, n_stack)),
-            }
+            else:
+                # unstacked wire: extras lose the leading k=1 axis so
+                # they match the single-batch train_function layout
+                extras = {key: np.asarray(v)[0] for key, v in extras.items()}
+            yield {"rows": rows, "cuts": cuts, **extras}
 
     def _expand_index_wire(self, batch: dict, store: dict) -> dict:
         """Assemble a training batch on device from (rows, cuts) and the

@@ -324,13 +324,8 @@ class RNNCluster(RNNBase):
             seeds.append(np.int32(self._noise_seed))
         self._update_scale()
         scale = np.float32(self.effective_scale)
-        if k == 1:
-            return {
-                "samples": samples[0],
-                "cluster_samples": cluster_samples[0],
-                "scale": scale,
-                "noise_seed": seeds[0],
-            }
+        # always leading-k (a stacked K=1 dispatch still scans the axis);
+        # the unstacked wire squeezes in _gen_index_mini_batch
         return {
             "samples": np.stack(samples),
             "cluster_samples": np.stack(cluster_samples),

@@ -158,8 +158,8 @@ class RNNSampling(RNNBase):
         ]
 
     def _index_payload_extras(self, k):
-        samples = np.stack([self._draw_samples() for _ in range(k)])
-        return {"samples": samples if k > 1 else samples[0]}
+        # always [k, S]: a stacked K=1 dispatch still scans the k axis
+        return {"samples": np.stack([self._draw_samples() for _ in range(k)])}
 
     def _prepare_input(self, sequences):
         ids, id_mask, mask = self._encode_sequences(

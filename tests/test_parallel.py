@@ -229,6 +229,78 @@ def test_sdae_mesh_matches_single_device(synthetic_handler, devices):
     np.testing.assert_allclose(pa["W_out"], pb["W_out"], rtol=1e-4, atol=1e-5)
 
 
+def test_rnn_sampling_mesh_matches_single_device(synthetic_handler, devices):
+    """RNNSampling under --mesh: the per-step negative-sample sets are
+    drawn on the HOST (seeded RNG) and ship as index-wire extras
+    (`rnn_sampling._index_payload_extras`); every host must assemble the
+    identical payload for `parallel/mesh.put_global` to be sound. The
+    oracle is a bit-comparable trajectory vs single-device."""
+    from seqrec_tpu.models.rnn_sampling import RNNSampling
+
+    mesh = make_mesh(n_data=2, n_model=4, devices=devices)
+
+    def factory():
+        return RNNSampling(
+            loss_function="BPR",
+            sampling=8,
+            recurrent_layer=RecurrentLayers(layer_type="GRU", layers=[16]),
+            updater=Adam(0.01),
+            max_length=12,
+            batch_size=8,
+            seed=0,
+        )
+
+    probe = factory()
+    probe.prepare_model(synthetic_handler)
+    assert probe._fast_batching_ok()  # the index-wire path is under test
+
+    (res_a, pa), (res_b, pb) = _train_pair(factory, synthetic_handler, mesh)
+    for m in ("sps", "recall"):
+        assert np.isclose(res_a[m], res_b[m], atol=1e-9), (m, res_a, res_b)
+    np.testing.assert_allclose(pa["W_out"], pb["W_out"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        pa["tower"]["layer0_fwd"]["W_in"],
+        pb["tower"]["layer0_fwd"]["W_in"],
+        rtol=1e-4,
+        atol=1e-5,
+    )
+
+
+def test_rnn_cluster_mesh_matches_single_device(synthetic_handler, devices):
+    """RNNCluster under --mesh: sample sets, noise seeds AND the
+    epoch-boundary temperature schedule ride the index wire as per-step
+    extras (`cluster._index_payload_extras`). 16 iterations over the
+    120-user fixture crosses an epoch boundary, so the schedule's growth
+    step is inside the compared trajectory."""
+    from seqrec_tpu.models.cluster import RNNCluster
+
+    mesh = make_mesh(n_data=2, n_model=4, devices=devices)
+
+    def factory():
+        return RNNCluster(
+            n_clusters=3,
+            loss="Blackout",
+            sampling=8,
+            recurrent_layer=RecurrentLayers(layer_type="GRU", layers=[16]),
+            updater=Adam(0.01),
+            max_length=12,
+            batch_size=8,
+            seed=0,
+        )
+
+    probe = factory()
+    probe.prepare_model(synthetic_handler)
+    assert probe._fast_batching_ok()
+
+    (res_a, pa), (res_b, pb) = _train_pair(factory, synthetic_handler, mesh)
+    for m in ("sps", "recall", "cluster_sps", "assr"):
+        assert np.isclose(res_a[m], res_b[m], atol=1e-9), (m, res_a, res_b)
+    np.testing.assert_allclose(pa["W_out"], pb["W_out"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        pa["cluster_repartition"], pb["cluster_repartition"], rtol=1e-4, atol=1e-5
+    )
+
+
 def test_fism_cluster_mesh_matches_single_device(synthetic_handler, devices):
     """FISMCluster: bag representation + cluster machinery under --mesh
     (item_embeddings/cluster_repartition row-shard, W_out column-shards)."""
