@@ -55,17 +55,49 @@ def main() -> None:
     import train as train_cli
 
     data_dir = os.environ["SEQREC_TEST_DATASET"]
+    common = [
+        "-d", data_dir, "--r_t", "GRU", "--r_l", "8", "--max_length", "10",
+        "-b", "8", "--u_l", "0.01", "--progress", "12",
+        "--save", "All", "--metrics", "sps,recall", "--mesh", "auto",
+        "--dir", f"proc{jax.process_index()}/",
+    ]
+
+    # leg 1: CCE (full-catalog softmax, no host-RNG per-step extras)
     res = train_cli.main(
-        [
-            "-d", data_dir, "-m", "RNN", "--loss", "CCE",
-            "--r_t", "GRU", "--r_l", "8", "--max_length", "10", "-b", "8",
-            "--u_l", "0.01", "--max_iter", "24", "--progress", "12",
-            "--save", "All", "--metrics", "sps,recall",
-            "--mesh", "auto",
-            "--dir", f"proc{jax.process_index()}/",
+        common + ["-m", "RNN", "--loss", "CCE", "--max_iter", "24"]
+    )
+    assert res[0]["sps"] is not None
+
+    # leg 2: RNNSampling/BPR — the per-step negative-sample sets are
+    # drawn by the HOST RNG and ship as index-wire extras; every process
+    # must assemble bit-identical payloads (parallel/mesh.put_global
+    # precondition). A seed or call-order divergence between processes
+    # corrupts the run silently — this leg makes it loud.
+    res = train_cli.main(
+        common
+        + ["-m", "RNN", "--loss", "BPR", "--sampling", "8", "--max_iter", "24"]
+    )
+    assert res[0]["sps"] is not None
+
+    # leg 3: multi-process --load_last_model resume of leg 1 — the
+    # checkpoint written by the process_allgather save must reload and
+    # reshard under the same pod mesh, and training must CONTINUE (the
+    # epoch offset comes from the loaded filename)
+    import glob
+
+    save_dir = os.path.join(data_dir, "models", f"proc{jax.process_index()}")
+    before = set(glob.glob(os.path.join(save_dir, "*")))
+    res = train_cli.main(
+        common
+        + [
+            "-m", "RNN", "--loss", "CCE", "--max_iter", "24",
+            "--load_last_model",
         ]
     )
     assert res[0]["sps"] is not None
+    after = set(glob.glob(os.path.join(save_dir, "*")))
+    assert after > before, "resume leg wrote no new checkpoints"
+
     print("WORKER_OK", jax.process_index(), flush=True)
 
 

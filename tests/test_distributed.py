@@ -71,7 +71,7 @@ def test_two_process_distributed_train(tmp_path_factory):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=420)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -81,15 +81,20 @@ def test_two_process_distributed_train(tmp_path_factory):
         assert p.returncode == 0, f"proc{pid} failed:\n{out[-4000:]}"
         assert f"WORKER_OK {pid}" in out
 
-    # every host wrote a complete checkpoint set, and they are identical
+    # every host wrote a complete checkpoint set (CCE leg + sampled-BPR
+    # leg + the resume leg's continuation files), and they are identical
     from seqrec_tpu.models.base import pytree_load
 
     fa = sorted(glob.glob(data_dir + "models/proc0/*"))
     fb = sorted(glob.glob(data_dir + "models/proc1/*"))
     assert fa, outs[0][-2000:]
     assert [os.path.basename(f) for f in fa] == [os.path.basename(f) for f in fb]
-    ta, tb = pytree_load(fa[-1]), pytree_load(fb[-1])
-    for key in ("W_out", "b_out"):
-        np.testing.assert_array_equal(ta["params"][key], tb["params"][key])
-    # the gathered archive is full-catalog-shaped (not a local shard)
-    assert ta["params"]["W_out"].shape == (8, 60)
+    # both families present (filename encodes the loss/model config)
+    names = " ".join(os.path.basename(f) for f in fa)
+    assert "bpr" in names.lower(), names
+    for file_a, file_b in zip(fa, fb):
+        ta, tb = pytree_load(file_a), pytree_load(file_b)
+        for key in ("W_out", "b_out"):
+            np.testing.assert_array_equal(ta["params"][key], tb["params"][key])
+        # the gathered archive is full-catalog-shaped (not a local shard)
+        assert ta["params"]["W_out"].shape == (8, 60)
