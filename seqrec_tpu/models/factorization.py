@@ -341,6 +341,11 @@ class MFBase:
     # DISTRIBUTION matches the host path; the stream does not.
     chunks_per_dispatch = 16
     _NEG_REJECTION_ROUNDS = 8  # all membership-tested in one pass
+    # adaptive (Rendle'14) draws also run on device by default — the
+    # rank-table refresh is a device argsort, so the host leaves the
+    # adaptive hot loop too. Set False for the host reference path
+    # (kept as the distribution oracle and for A/B measurement).
+    device_adaptive = True
 
     def _upload_sample_store(self) -> None:
         import jax
@@ -402,6 +407,60 @@ class MFBase:
 
     def _sample_users(self, n: int) -> np.ndarray:
         return self.rng.choice(self._eligible_users, size=n)
+
+    # on-device adaptive (Rendle'14) draws --------------------------------
+    # The reference's default sampler (bprmf.py:15-19, 73-99) draws a
+    # rank ~ Exp(bias), a factor ∝ |factor|·var, and looks the item up in
+    # the factor-sorted rank table, rejecting forbidden candidates. The
+    # host twin above (_adaptive_negatives_vec) vectorizes that loop; the
+    # device path below removes the host from the hot loop entirely:
+    # the rank tables are REFRESHED on device (argsort of the live factor
+    # matrix — no host transfer) and the draws+rejection fuse into the
+    # same dispatch as the SGD chunks. The sampling DISTRIBUTION matches
+    # the host path (the truncated exponential is sampled by inverse CDF
+    # instead of redraw-until, which is the same distribution); the RNG
+    # stream does not — same contract as the uniform device path.
+    # 16 rounds (vs the uniform path's 8): the adaptive distribution
+    # concentrates on high-rank items, which can overlap a user's
+    # history far more than the uniform density, so the residual
+    # probability of emitting a seen item (rejected-mass^R per draw)
+    # needs the extra headroom. Draws are cheap; the membership test is
+    # a vectorized binary search.
+    _ADAPTIVE_REJECTION_ROUNDS = 16
+
+    def _device_adaptive_draw(self, key, weights, signs, ranks, reject_fn):
+        """One adaptive negative per row of ``weights``.
+
+        weights/signs: [n, F] per-sample factor tables (|factors|·var and
+        their signs); ranks: [N, F] device rank table; reject_fn(cand
+        [R, n]) -> bool mask. R pre-drawn rounds, first accepted
+        candidate kept (residual acceptance failure = density^R, same
+        bound as the uniform path's _device_negatives)."""
+        R = self._ADAPTIVE_REJECTION_ROUNDS
+        n, F = weights.shape
+        N = self.n_items
+        lam = float(self.sampling_bias)
+        k1, k2 = jax.random.split(key)
+        # rank ~ Exp(lam) conditioned on rank < N, by inverse CDF — the
+        # distribution of the host's redraw-while->=N loop (bprmf.py:88)
+        v = jax.random.uniform(k1, (R, n))
+        fmax = 1.0 - np.exp(-N / lam)
+        rank = jnp.floor(-lam * jnp.log1p(-v * fmax)).astype(jnp.int32)
+        rank = jnp.minimum(rank, N - 1)  # float-rounding guard
+        # factor ~ Categorical(weights) per row (CDF inversion, fresh
+        # draw per rejection round like the host path)
+        cum = jnp.cumsum(weights, axis=1)  # [n, F]
+        rnd = jax.random.uniform(k2, (R, n)) * cum[:, -1]
+        f = jnp.minimum((cum[None] < rnd[..., None]).sum(-1), F - 1)  # [R,n]
+        rows = jnp.arange(n)
+        sgn = signs[rows[None, :], f]
+        # numpy signed-index trick (bprmf.py:91): sign<0 indexes the
+        # ranking from the other end; ranks[-r] == ranks[N-r], r=0 -> 0
+        idx = jnp.where(sgn < 0, (N - rank) % N, rank)
+        cand = ranks[idx, f]  # [R, n]
+        bad = reject_fn(cand)
+        first = jnp.argmin(bad, axis=0)  # first non-rejected per column
+        return cand[first, rows]
 
     def _adaptive_negatives_vec(self, weights, signs, reject_fn) -> np.ndarray:
         """Vectorized Rendle'14 adaptive negative sampling
@@ -626,6 +685,66 @@ class BPRMF(MFBase):
 
         self._multi_step = jax.jit(multi, donate_argnums=(0, 1, 2))
 
+    def _build_adaptive_device_step(self):
+        """Adaptive twin of ``_build_device_step``: the Rendle'14 draws
+        (exp-rank + factor-categorical + signed rank-table lookup +
+        history-membership rejection) fuse into the same K-chunk SGD
+        dispatch; the rank table arrives as a device argument refreshed
+        by ``_device_rank_refresh`` every n·ln(n) samples."""
+        st = self._dev_sample_store
+        n = self.samples_per_step
+        K = self.chunks_per_dispatch
+        trips = self._bs_trips
+        E = len(self._eligible_users)
+        reg = self.reg
+        sgd = self._sgd_chunk
+        R = self._ADAPTIVE_REJECTION_ROUNDS
+
+        def sample(key, V, ranks, var):
+            k1, k2, k3 = jax.random.split(key, 3)
+            u = st["eligible"][jax.random.randint(k1, (n,), 0, E)]
+            offs, lens = st["offs"][u], st["lens"][u]
+            i = st["items"][offs + jax.random.randint(k2, (n,), 0, lens)]
+            Vu = V[u]  # LIVE user factors (the host path also re-reads V
+            # each chunk; only the rank table is stale between refreshes)
+            j = self._device_adaptive_draw(
+                k3,
+                jnp.abs(Vu) * var,
+                jnp.sign(Vu),
+                ranks,
+                lambda cand: self._device_member(
+                    st, cand.reshape(-1), jnp.tile(u, R), trips
+                ).reshape(R, n),
+            )
+            return u, i, j
+
+        def multi(V, H, bias, ranks, var, key, lr):
+            def body(carry, k):
+                V, H, bias = carry
+                u, i, j = sample(k, V, ranks, var)
+                V, H, bias, c = sgd(reg, V, H, bias, u, i, j, lr)
+                return (V, H, bias), c
+
+            (V, H, bias), costs = jax.lax.scan(
+                body, (V, H, bias), jax.random.split(key, K)
+            )
+            return V, H, bias, costs.mean()
+
+        self._multi_step_adaptive = jax.jit(multi, donate_argnums=(0, 1, 2))
+
+    def _device_rank_refresh(self):
+        """Rank-table refresh entirely ON DEVICE: argsort + var of the
+        live item-factor matrix (the host path's compute_factor_rankings
+        pulls H to the host and argsorts there — bprmf.py:66-71)."""
+        if not hasattr(self, "_rank_refresh_fn"):
+            self._rank_refresh_fn = jax.jit(
+                lambda H: (
+                    jnp.argsort(H, axis=0).astype(jnp.int32),
+                    jnp.var(H, axis=0),
+                )
+            )
+        self._dev_ranks, self._dev_var = self._rank_refresh_fn(self.H)
+
     def training_step(self, iterations):
         n = self.samples_per_step
         if not self.adaptive_sampling:
@@ -637,6 +756,22 @@ class BPRMF(MFBase):
             self._sample_key, sub = jax.random.split(self._sample_key)
             self.V, self.H, self.bias, cost = self._multi_step(
                 self.V, self.H, self.bias, sub, np.float32(self.learning_rate)
+            )
+            return cost, n * self.chunks_per_dispatch
+        if self.device_adaptive:
+            if not hasattr(self, "_multi_step_adaptive"):
+                self._upload_sample_store()
+                self._build_adaptive_device_step()
+                self._next_rank_refresh = -1
+            if iterations >= self._next_rank_refresh:
+                self._device_rank_refresh()
+                self._next_rank_refresh = iterations + int(
+                    self.n_items * np.log(self.n_items)
+                )
+            self._sample_key, sub = jax.random.split(self._sample_key)
+            self.V, self.H, self.bias, cost = self._multi_step_adaptive(
+                self.V, self.H, self.bias, self._dev_ranks, self._dev_var,
+                sub, np.float32(self.learning_rate),
             )
             return cost, n * self.chunks_per_dispatch
         if iterations % int(self.n_items * np.log(self.n_items)) < n or not hasattr(
@@ -792,6 +927,72 @@ class FPMC(MFBase):
 
         self._multi_step = jax.jit(multi, donate_argnums=(0, 1, 2, 3))
 
+    def _build_adaptive_device_step(self):
+        """Adaptive twin over the CONCATENATED CF+MC factor tables
+        (fpmc.py:86-114): weights come from the live [VUI[u] ‖ VPN[p]]
+        rows, the rank table is the column-concatenated argsorts of
+        VIU/VNP refreshed on device, rejection = drew the true next
+        item."""
+        st = self._dev_sample_store
+        n = self.samples_per_step
+        K = self.chunks_per_dispatch
+        E = len(self._eligible_users)
+        reg = self.reg
+        sgd = self._sgd_chunk
+
+        def sample(key, VUI, VPN, ranks, var):
+            k1, k2, k3 = jax.random.split(key, 3)
+            u = st["eligible"][jax.random.randint(k1, (n,), 0, E)]
+            offs, lens = st["offs"][u], st["lens"][u]
+            r = jax.random.randint(k2, (n,), 0, lens - 1)
+            p = st["items"][offs + r]
+            i = st["items"][offs + r + 1]
+            concat = jnp.concatenate((VUI[u], VPN[p]), axis=1)
+            j = self._device_adaptive_draw(
+                k3,
+                jnp.abs(concat) * var,
+                jnp.sign(concat),
+                ranks,
+                lambda cand: cand == i[None, :],
+            )
+            return u, p, i, j
+
+        def multi(VUI, VIU, VPN, VNP, ranks, var, key, lr):
+            def body(carry, k):
+                VUI, VIU, VPN, VNP = carry
+                u, p, i, j = sample(k, VUI, VPN, ranks, var)
+                out = sgd(reg, VUI, VIU, VPN, VNP, u, p, i, j, lr)
+                return tuple(out[:-1]), out[-1]
+
+            carry, costs = jax.lax.scan(
+                body,
+                (VUI, VIU, VPN, VNP),
+                jax.random.split(key, K),
+            )
+            return (*carry, costs.mean())
+
+        self._multi_step_adaptive = jax.jit(multi, donate_argnums=(0, 1, 2, 3))
+
+    def _device_rank_refresh(self):
+        """Device argsort+var of VIU/VNP, column-concatenated like the
+        host compute_factor_rankings (fpmc.py:74-84)."""
+        if not hasattr(self, "_rank_refresh_fn"):
+            self._rank_refresh_fn = jax.jit(
+                lambda A, B: (
+                    jnp.concatenate(
+                        (
+                            jnp.argsort(A, axis=0).astype(jnp.int32),
+                            jnp.argsort(B, axis=0).astype(jnp.int32),
+                        ),
+                        axis=1,
+                    ),
+                    jnp.concatenate((jnp.var(A, axis=0), jnp.var(B, axis=0))),
+                )
+            )
+        self._dev_ranks, self._dev_var = self._rank_refresh_fn(
+            self.V_item_user, self.V_next_prev
+        )
+
     def training_step(self, iterations):
         n = self.samples_per_step
         if not self.adaptive_sampling:
@@ -810,6 +1011,34 @@ class FPMC(MFBase):
                 self.V_item_user,
                 self.V_prev_next,
                 self.V_next_prev,
+                sub,
+                np.float32(self.learning_rate),
+            )
+            return cost, n * self.chunks_per_dispatch
+        if self.device_adaptive:
+            if not hasattr(self, "_multi_step_adaptive"):
+                self._upload_sample_store()
+                self._build_adaptive_device_step()
+                self._next_rank_refresh = -1
+            if iterations >= self._next_rank_refresh:
+                self._device_rank_refresh()
+                self._next_rank_refresh = iterations + int(
+                    self.n_items * np.log(self.n_items)
+                )
+            self._sample_key, sub = jax.random.split(self._sample_key)
+            (
+                self.V_user_item,
+                self.V_item_user,
+                self.V_prev_next,
+                self.V_next_prev,
+                cost,
+            ) = self._multi_step_adaptive(
+                self.V_user_item,
+                self.V_item_user,
+                self.V_prev_next,
+                self.V_next_prev,
+                self._dev_ranks,
+                self._dev_var,
                 sub,
                 np.float32(self.learning_rate),
             )

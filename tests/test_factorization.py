@@ -236,12 +236,23 @@ def test_fism_runs_and_saves(synthetic_handler, tmp_path):
 
 
 def test_bprmf_adaptive_sampling_runs(synthetic_handler):
+    # default: fused on-device adaptive dispatch (K chunks per call)
     model = BPRMF(k=8, learning_rate=0.1, adaptive_sampling=True, sampling_bias=20, init_sigma=0.1, seed=0)
     model.samples_per_step = 64
     model.prepare_model(synthetic_handler)
     model.change_data_format(synthetic_handler)
     model.init_model()
     cost, n = model.training_step(0)
+    assert n == 64 * model.chunks_per_dispatch and 0.0 <= cost <= 1.0
+
+    # host reference path (device_adaptive off): one chunk per call
+    host = BPRMF(k=8, learning_rate=0.1, adaptive_sampling=True, sampling_bias=20, init_sigma=0.1, seed=0)
+    host.device_adaptive = False
+    host.samples_per_step = 64
+    host.prepare_model(synthetic_handler)
+    host.change_data_format(synthetic_handler)
+    host.init_model()
+    cost, n = host.training_step(0)
     assert n == 64 and 0.0 <= cost <= 1.0
 
 
@@ -308,6 +319,56 @@ def test_adaptive_sampling_distribution_parity(synthetic_handler):
     # same support concentration: total variation distance small for
     # 12k draws from identical distributions (TV fluctuates ~sqrt(S/n))
     tv = 0.5 * np.abs(f_vec - f_loop).sum()
+    assert tv < 0.08, tv
+
+
+def test_device_adaptive_draw_distribution_parity(synthetic_handler):
+    """The ON-DEVICE Rendle'14 draw (truncated-exponential rank by
+    inverse CDF + categorical factor + signed rank-table lookup +
+    R-round rejection) must sample the same distribution as the host
+    sampler. Compare empirical negative frequencies for a fixed user."""
+    import jax
+    import jax.numpy as jnp
+
+    model = BPRMF(k=4, adaptive_sampling=True, sampling_bias=15, init_sigma=0.5, seed=0)
+    model.prepare_model(synthetic_handler)
+    model.change_data_format(synthetic_handler)
+    model.init_model()
+    model.compute_factor_rankings()
+    model._upload_sample_store()
+
+    n_draws = 12000
+    u0 = int(model._eligible_users[0])
+    users = np.full(n_draws, u0, dtype=np.int64)
+
+    model.rng = np.random.default_rng(7)
+    host = model._adaptive_negatives(users)
+
+    st = model._dev_sample_store
+    R = model._ADAPTIVE_REJECTION_ROUNDS
+    Vu = jnp.asarray(model.V)[jnp.asarray(users)]
+    u_dev = jnp.asarray(users.astype(np.int32))
+    dev = np.asarray(
+        model._device_adaptive_draw(
+            jax.random.PRNGKey(3),
+            jnp.abs(Vu) * jnp.asarray(model.var.astype(np.float32)),
+            jnp.sign(Vu),
+            jnp.asarray(model.ranks.astype(np.int32)),
+            lambda cand: model._device_member(
+                st, cand.reshape(-1), jnp.tile(u_dev, R), model._bs_trips
+            ).reshape(R, n_draws),
+        )
+    )
+
+    # the host loop excludes seen items absolutely; the device path's
+    # residual is rejected-mass^R per draw — tiny, but not exactly zero
+    # on this dense 60-item fixture
+    member_rate = model._is_member(users, dev).mean()
+    assert member_rate < 2e-3, member_rate
+
+    f_host = np.bincount(host, minlength=model.n_items) / n_draws
+    f_dev = np.bincount(dev, minlength=model.n_items) / n_draws
+    tv = 0.5 * np.abs(f_host - f_dev).sum()
     assert tv < 0.08, tv
 
 
