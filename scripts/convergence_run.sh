@@ -1,0 +1,41 @@
+#!/bin/bash
+# Round-4 convergence-at-MXU-shape campaign (VERDICT r3 item 2): prove the
+# fused Pallas train kernels' custom-VJP backwards train real models at the
+# shapes they gate on for. Dataset: the 50k-item bench dataset
+# (20k users, 1.2M interactions, planted Markov 0.5 — bench.py
+# _ensure_matrix_dataset). Protocol: reference eval contract
+# (/root/reference/test.py:55-59), early stop, then floors.
+# Usage: bash scripts/convergence_run.sh [datadir]
+set -x
+OUT=${1:-/tmp/seqrec_matrix_50k}
+cd "$(dirname "$0")/.."
+
+# dataset exists from the bench matrix; (re)create if missing
+python - <<EOF
+from bench import _ensure_matrix_dataset
+print(_ensure_matrix_dataset(50_000, 20_000))
+EOF
+
+# GRU H=128 (pallas_rnn_train engaged: H>=128), CCE, B=256
+time python train.py -d "$OUT/" -m RNN --loss CCE --r_t GRU --r_l 128 \
+    --max_length 30 -b 256 --u_m adam --u_l 0.001 --save Best \
+    --progress 400000 --max_iter 40000000 --es_m StopAfterN --es_n 3
+
+python test.py -d "$OUT/" -m RNN --loss CCE --r_t GRU --r_l 128 \
+    --max_length 30 -b 256 --u_l 0.001 --save
+
+# LSTM H=128 (pallas_lstm_train engaged: H>=128)
+time python train.py -d "$OUT/" -m RNN --loss CCE --r_t LSTM --r_l 128 \
+    --max_length 30 -b 256 --u_m adam --u_l 0.001 --save Best \
+    --progress 400000 --max_iter 40000000 --es_m StopAfterN --es_n 3
+
+python test.py -d "$OUT/" -m RNN --loss CCE --r_t LSTM --r_l 128 \
+    --max_length 30 -b 256 --u_l 0.001 --save
+
+# floors
+for m in POP MM; do
+  echo "==== $m ===="
+  python test.py -d "$OUT/" -m $m
+done
+
+echo DONE

@@ -62,13 +62,39 @@ class RNNOneHot(RNNBase):
         h = self.recurrent_layer.apply(params["tower"], ids, mask, id_mask, fast=fast)
         return self._out_matmul(h, params["W_out"], params["b_out"])
 
+    def _use_streaming_head(self) -> bool:
+        """Large catalogs route the training loss through the streaming
+        (flash-style) CCE: the [B, n_items] logit matrix never reaches
+        HBM (ops/streaming_cce.py — the measured memory bound at
+        10^5-item catalogs). Unsharded only: under a mesh, GSPMD already
+        column-shards the logits and inserts the logsumexp psum."""
+        from seqrec_tpu.ops.streaming_cce import STREAMING_CCE_MIN_ITEMS
+
+        return self.mesh is None and self.n_items >= STREAMING_CCE_MIN_ITEMS
+
     def _loss(self, params, batch):
-        logits = self._logits(
-            params, batch["ids"], batch.get("id_mask"), batch["mask"], fast="train"
-        )
-        cost = losses.diversity_biased_cce(
-            logits, batch["targets"], batch["target_pop"]
-        )
+        if self._use_streaming_head():
+            from seqrec_tpu.ops.streaming_cce import CHUNK_COLS, streaming_cce
+
+            h = self.recurrent_layer.apply(
+                params["tower"], batch["ids"], batch["mask"],
+                batch.get("id_mask"), fast="train",
+            )
+            # static args passed positionally: custom_vjp's
+            # nondiff_argnums binds by position
+            per_ex = streaming_cce(
+                h, params["W_out"], params["b_out"], batch["targets"],
+                CHUNK_COLS, self.compute_dtype,
+            )
+            cost = (per_ex / batch["target_pop"]).mean()
+        else:
+            logits = self._logits(
+                params, batch["ids"], batch.get("id_mask"), batch["mask"],
+                fast="train",
+            )
+            cost = losses.diversity_biased_cce(
+                logits, batch["targets"], batch["target_pop"]
+            )
         if self.regularization > 0.0:
             cost = cost + self.regularization * jnp.sum(jnp.square(params["b_out"]))
         elif self.regularization < 0.0:

@@ -1,0 +1,173 @@
+"""Streaming (flash-style) full-catalog cross-entropy.
+
+The reference's CCE head (rnn_one_hot.py:65-71) scores every catalog item:
+``loss_i = logsumexp_j(h_i·W_j + b_j) - (h_i·W_t + b_t)``. The naive
+implementation materializes the ``[B, n_items]`` logit matrix in HBM —
+at B=8192 over a 200k-item catalog that is 6.5 GB written at the forward,
+re-read by the backward, plus a same-sized dlogits matrix written and
+re-read by BOTH backward matmuls: ~25-30 GB of HBM traffic per step for
+an array that is pure intermediate. The round-3 bench matrix measured the
+step as memory-bound exactly here (bf16 matmuls were a no-op e2e at every
+10^5-catalog shape).
+
+This op computes the SAME math without ever materializing the logits:
+
+- forward: ``lax.scan`` over column chunks of ``W``/``b``; each chunk's
+  logits live only in registers/VMEM while an online log-sum-exp
+  (running max ``m``, running sum ``s`` — the flash-softmax recurrence)
+  and the target-logit extraction are updated;
+- backward (hand-written VJP): a second scan recomputes each chunk's
+  logits, forms ``p = exp(logit - m - log s)`` and the per-chunk
+  ``dlogits = g·(p - onehot)`` in registers, and immediately contracts it
+  into ``dh`` (accumulated carry), the chunk's ``dW`` slice, and ``db``.
+
+HBM traffic drops to: read ``W`` twice, write ``dW`` once, plus the
+[B, H] activations — the logits never round-trip. The cost is one extra
+forward matmul pass in the backward (the standard flash/remat trade:
+4 matmul passes instead of 3). For the matmul-FLOP-dominated shapes this
+op targets (catalog >= ~16k), the traffic saved is an order of magnitude
+more than the extra pass costs.
+
+Sharding note: under pjit with ``W_out`` column-sharded on the mesh
+"model" axis, the chunked reshape would fight GSPMD's partitioning (each
+shard already materializes only its [B, N/m] logit slice). The model
+gates this path to unsharded execution; the mesh path keeps the XLA
+logsumexp whose psum GSPMD inserts.
+
+The math is validated against the dense path in
+tests/test_streaming_cce.py (forward, grads, non-divisible chunk tails,
+bf16 compute dtype).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# catalogs at least this large route RNNOneHot through the streaming op
+# (below it, the [B, N] intermediate fits comfortably in cache-sized
+# working sets and the dense path's single fused pass wins)
+STREAMING_CCE_MIN_ITEMS = 16384
+
+# column-chunk width: 8 MXU lane groups; [B, CHUNK] f32 chunk logits at
+# B=8192 are 32 MB of VMEM-resident intermediate per scan step, well
+# inside the ~100 MB/step sweet spot XLA tiles without spilling
+CHUNK_COLS = 1024
+
+
+def _pad_cols(W: jax.Array, b: jax.Array, chunk: int):
+    """Pad the column dim to a chunk multiple. Pad bias = -1e30 so padded
+    columns contribute exp(-inf)=0 to the sum-exp and can never be a max
+    (targets are always < N, so they never select a pad column)."""
+    N = W.shape[1]
+    n_chunks = -(-N // chunk)
+    pad = n_chunks * chunk - N
+    if pad:
+        W = jnp.pad(W, ((0, 0), (0, pad)))
+        b = jnp.pad(b, (0, pad), constant_values=-1e30)
+    return W, b, n_chunks
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def streaming_cce(h, W, b, targets, chunk: int = CHUNK_COLS, compute_dtype=jnp.float32):
+    """Per-example CCE ``[B]`` from ``h [B,H]``, ``W [H,N]``, ``b [N]``,
+    int targets ``[B]`` — identical math to
+    ``losses.log_softmax_cce(h@W+b, targets)`` with no [B, N]
+    materialization."""
+    loss, _ = _fwd(h, W, b, targets, chunk, compute_dtype)
+    return loss
+
+
+def _chunk_logits(h_c, W_r, b_r, i):
+    """[B, chunk] logits of chunk i (cast matmul, f32 accumulate)."""
+    return (
+        jnp.dot(h_c, W_r[i], preferred_element_type=jnp.float32) + b_r[i]
+    )
+
+
+def _fwd(h, W, b, targets, chunk, compute_dtype):
+    B = h.shape[0]
+    N = W.shape[1]
+    Wp, bp, n_chunks = _pad_cols(W, b, chunk)
+    # scan xs: [n_chunks, H, chunk] / [n_chunks, chunk] views (reshape of
+    # the padded arrays; XLA reads each slice once, no copy per step)
+    W_r = jnp.transpose(Wp.reshape(W.shape[0], n_chunks, chunk), (1, 0, 2))
+    b_r = bp.reshape(n_chunks, chunk)
+    h_c = h.astype(compute_dtype)
+    W_r = W_r.astype(compute_dtype)
+    t_col = targets[:, None]
+
+    init = (
+        jnp.full((B,), -1e30, jnp.float32),
+        jnp.zeros((B,), jnp.float32),
+        jnp.zeros((B,), jnp.float32),
+    )
+
+    def scan_body(carry, i):
+        m, s, tl = carry
+        logits = _chunk_logits(h_c, W_r, b_r, i)
+        cm = logits.max(axis=-1)
+        m_new = jnp.maximum(m, cm)
+        # flash-softmax rescale; m starts at -1e30 with s=0, so the
+        # first chunk's exp(m - m_new) underflows to 0 against s=0
+        s_new = s * jnp.exp(m - m_new) + jnp.exp(logits - m_new[:, None]).sum(-1)
+        local = t_col - i * chunk
+        hit = (local >= 0) & (local < chunk)
+        got = jnp.take_along_axis(logits, jnp.clip(local, 0, chunk - 1), axis=1)
+        tl_new = tl + jnp.where(hit[:, 0], got[:, 0], 0.0)
+        return (m_new, s_new, tl_new), None
+
+    (m, s, tl), _ = jax.lax.scan(
+        scan_body, init, jnp.arange(n_chunks, dtype=jnp.int32)
+    )
+    loss = jnp.log(s) + m - tl
+    # residuals: the [B]-sized softmax stats — NOT the logits
+    return loss, (h, W, b, targets, m, s)
+
+
+def _bwd(chunk, compute_dtype, res, g):
+    h, W, b, targets, m, s = res
+    H, N = W.shape
+    Wp, bp, n_chunks = _pad_cols(W, b, chunk)
+    W_r = jnp.transpose(Wp.reshape(H, n_chunks, chunk), (1, 0, 2))
+    b_r = bp.reshape(n_chunks, chunk)
+    h_c = h.astype(compute_dtype)
+    W_rc = W_r.astype(compute_dtype)
+    logz = (m + jnp.log(s))[:, None]  # [B, 1]
+    gcol = g[:, None]  # upstream per-example cotangent
+    t_col = targets[:, None]
+
+    def body(dh, i):
+        logits = _chunk_logits(h_c, W_rc, b_r, i)
+        p = jnp.exp(logits - logz)  # softmax slice, in registers
+        local = t_col - i * chunk
+        hit = (local >= 0) & (local < chunk)
+        onehot = (
+            (jnp.arange(chunk, dtype=jnp.int32)[None, :] == local) & hit
+        )
+        dlogits = (gcol * (p - onehot)).astype(compute_dtype)
+        dW_c = jnp.dot(
+            h_c.T, dlogits, preferred_element_type=jnp.float32
+        )  # [H, chunk]
+        db_c = dlogits.sum(axis=0, dtype=jnp.float32)
+        dh = dh + jnp.dot(
+            dlogits, W_rc[i].T, preferred_element_type=jnp.float32
+        )
+        return dh, (dW_c, db_c)
+
+    dh, (dW_r, db_r) = jax.lax.scan(
+        body,
+        jnp.zeros(h.shape, jnp.float32),
+        jnp.arange(n_chunks, dtype=jnp.int32),
+    )
+    dW = jnp.transpose(dW_r, (1, 0, 2)).reshape(H, n_chunks * chunk)[:, :N]
+    db = db_r.reshape(n_chunks * chunk)[:N]
+    return dh.astype(h.dtype), dW.astype(W.dtype), db.astype(b.dtype), None
+
+
+streaming_cce.defvjp(
+    lambda h, W, b, t, chunk, cdt: _fwd(h, W, b, t, chunk, cdt),
+    _bwd,
+)
