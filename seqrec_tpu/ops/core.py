@@ -80,6 +80,48 @@ def gather_sum(table: jax.Array, ids: jax.Array, id_mask: jax.Array | None = Non
 # ----------------------------------------------------------------------
 # masked top-k over item scores
 # ----------------------------------------------------------------------
+
+# two-level selection engages above this catalog size: XLA's TopK lowers
+# to a full per-row sort on TPU, which at 10^5-item catalogs costs an
+# order of magnitude more than the grouped reduce+gather (measured in
+# BASELINE.md serving rows); below it the single lax.top_k is already
+# cheap and the extra gather pass isn't worth its launch
+GROUPED_TOPK_MIN_ITEMS = 32768
+_GROUP = 128  # one TPU lane register per group reduction
+
+
+def grouped_top_k(scores: jax.Array, k: int):
+    """EXACT top-k via two-level selection: per-128-lane-group maxima,
+    ``top_k`` over the [B, N/128] maxima, gather the k winning groups per
+    row, exact ``top_k`` over the k·128 candidates.
+
+    Exactness: if an element with the r-th largest value (r <= k) sat in
+    a non-selected group, that group's max would be >= its value while k
+    selected groups each contain an element with a strictly larger max —
+    giving k elements ranked above it, a contradiction (ties can swap
+    equal-valued ids, exactly like any top-k tie). Within-group
+    collisions are covered because whole groups are gathered.
+
+    Returns (values [B, k], ids int32 [B, k]), sorted best-first.
+    """
+    B, N = scores.shape
+    G = -(-N // _GROUP)
+    if G < k:  # fewer groups than k: the two-level split cannot help
+        vals, ids = jax.lax.top_k(scores, k)
+        return vals, ids.astype(jnp.int32)
+    pad = G * _GROUP - N
+    if pad:
+        scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    grouped = scores.reshape(B, G, _GROUP)
+    gmax = grouped.max(axis=-1)  # [B, G] — one streaming reduce
+    _, gsel = jax.lax.top_k(gmax, k)  # [B, k] winning groups
+    cand = jnp.take_along_axis(grouped, gsel[..., None], axis=1)  # [B,k,128]
+    vals, ci = jax.lax.top_k(cand.reshape(B, k * _GROUP), k)
+    group_of = jnp.take_along_axis(gsel, ci // _GROUP, axis=1)
+    ids = group_of * _GROUP + ci % _GROUP
+    return vals, ids.astype(jnp.int32)
+
+
 def masked_top_k(
     scores: jax.Array,
     k: int,
@@ -89,8 +131,9 @@ def masked_top_k(
     """Top-k item ids per row after excluding already-seen items.
 
     Replaces the reference's ``output[seen] = -inf; np.argpartition``
-    (rnn_base.py:154-159) with a device-side scatter + ``lax.top_k``
-    (sorted, like ``argpartition(-x, range(k))``).
+    (rnn_base.py:154-159) with a device-side scatter + top-k (sorted,
+    like ``argpartition(-x, range(k))``). Large catalogs route through
+    :func:`grouped_top_k`; small ones use ``lax.top_k`` directly.
 
     scores:    [B, n_items]
     seen_ids:  int32 [B, S] (padded); scores at these ids are masked out.
@@ -105,5 +148,8 @@ def masked_top_k(
         # scatter -inf (or +0 for padding) into each row at seen ids
         batch = jnp.arange(scores.shape[0])[:, None]
         scores = scores.at[batch, seen_ids].add(updates)
+    if scores.shape[1] >= GROUPED_TOPK_MIN_ITEMS and scores.shape[1] >= k * _GROUP:
+        _, ids = grouped_top_k(scores, k)
+        return ids
     _, ids = jax.lax.top_k(scores, k)
     return ids

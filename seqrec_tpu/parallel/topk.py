@@ -70,7 +70,14 @@ def sharded_score_topk(
         scores = scores.at[batch, local_seen].add(
             updates, mode="drop", unique_indices=False
         )
-        vals, ids = jax.lax.top_k(scores, k)
+        # large local shards route through the exact two-level selection
+        # (XLA TopK is a full per-row sort on TPU — see ops/core.py)
+        from seqrec_tpu.ops.core import GROUPED_TOPK_MIN_ITEMS, grouped_top_k
+
+        if n_local >= GROUPED_TOPK_MIN_ITEMS and n_local >= k * 128:
+            vals, ids = grouped_top_k(scores, k)
+        else:
+            vals, ids = jax.lax.top_k(scores, k)
         ids = ids + offset
 
         # k candidates per shard cross the ICI; merge to the global top-k

@@ -45,6 +45,61 @@ def test_masked_top_k_excludes_seen():
     assert ids[1].tolist() == [2, 1]  # 3 masked, 0 NOT masked (mask=0)
 
 
+def test_grouped_top_k_matches_lax_top_k():
+    """The two-level exact selection must return the same VALUES as a
+    full lax.top_k (ids may swap only between equal values)."""
+    from seqrec_tpu.ops.core import grouped_top_k
+
+    rng = np.random.default_rng(0)
+    for B, N, k in ((4, 1000, 10), (3, 4096, 5), (2, 1280, 10)):
+        scores = jnp.asarray(rng.normal(size=(B, N)).astype(np.float32))
+        want_v, want_i = jax.lax.top_k(scores, k)
+        got_v, got_i = grouped_top_k(scores, k)
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+        # ids must point at the values they claim
+        np.testing.assert_array_equal(
+            np.take_along_axis(np.asarray(scores), np.asarray(got_i), 1),
+            np.asarray(got_v),
+        )
+
+
+def test_grouped_top_k_collisions_and_ties():
+    from seqrec_tpu.ops.core import grouped_top_k
+
+    # all top-k clustered inside ONE 128-lane group (within-group
+    # collisions) plus exact ties straddling groups
+    N, k = 1024, 6
+    scores = np.zeros((2, N), dtype=np.float32)
+    scores[0, 40:46] = [9, 8, 7, 6, 5, 4]  # same group
+    scores[1, [10, 200, 300]] = 5.0  # three-way tie across groups
+    scores[1, [400, 500]] = 7.0
+    got_v, got_i = grouped_top_k(jnp.asarray(scores), k)
+    want_v, _ = jax.lax.top_k(jnp.asarray(scores), k)
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+    np.testing.assert_array_equal(
+        np.take_along_axis(scores, np.asarray(got_i), 1), np.asarray(got_v)
+    )
+
+
+def test_masked_top_k_grouped_path_matches_dense():
+    """Above GROUPED_TOPK_MIN_ITEMS the masked path must stay exact."""
+    from seqrec_tpu.ops import core
+
+    rng = np.random.default_rng(1)
+    B, S, k = 4, 8, 10
+    N = core.GROUPED_TOPK_MIN_ITEMS
+    scores = rng.normal(size=(B, N)).astype(np.float32)
+    seen = rng.integers(0, N, size=(B, S)).astype(np.int32)
+    sm = np.ones((B, S), dtype=np.float32)
+    got = np.asarray(masked_top_k(jnp.asarray(scores), k, jnp.asarray(seen), jnp.asarray(sm)))
+    masked = scores.copy()
+    np.put_along_axis(masked, seen, -np.inf, axis=1)
+    want = np.argsort(-masked, axis=1)[:, :k]
+    np.testing.assert_array_equal(
+        np.take_along_axis(masked, got, 1), np.take_along_axis(masked, want, 1)
+    )
+
+
 def test_cce_loss_oracle():
     logits = jnp.asarray([[1.0, 2.0, 3.0], [3.0, 1.0, 0.0]])
     targets = jnp.asarray([2, 0])
