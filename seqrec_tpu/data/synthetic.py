@@ -98,6 +98,53 @@ def generate_interactions_vec(
     return np.stack([users, flat_items, ratings, times], axis=1)
 
 
+def generate_interactions_grid(
+    n_users: int = 500,
+    n_items: int = 3600,
+    min_len: int = 10,
+    max_len: int = 40,
+    markov_strength: float = 0.6,
+    seed: int = 0,
+) -> np.ndarray:
+    """Compositional SECOND-order regime: the signal a first-order
+    Markov model cannot capture.
+
+    Items live on a sqrt(n) x sqrt(n) grid. With probability
+    ``markov_strength`` the next item is the grid cell
+    ``(row(i_{t-1}), col(i_{t-2}))`` — it composes the LAST item's row
+    with the SECOND-TO-LAST item's column; otherwise a Zipf popularity
+    draw. Conditioning on the previous item alone pins only the row, so
+    a first-order model's mass spreads over sqrt(n) columns (sps bounded
+    near q*10/sqrt(n) + pop floor), while a sequence model with two
+    steps of memory and factorized item embeddings can recover the exact
+    cell. This is the complement of :func:`generate_interactions`'s
+    first-order regime, where the Markov baseline wins by construction
+    (BASELINE.md quality table)."""
+    rng = np.random.default_rng(seed)
+    side = int(np.sqrt(n_items))
+    n_items = side * side  # snap to a full grid
+    # UNIFORM non-Markov draws: a popularity skew would concentrate the
+    # column marginal of i_{t-2}, letting a first-order model cover the
+    # composed cells with a few popular columns (measured: Zipf jumps
+    # gave a train-fit MM a 0.73 top-10 hit rate; uniform ~10/side)
+    lengths = rng.integers(min_len, max_len + 1, size=n_users)
+    L = int(lengths.max())
+    items = np.zeros((n_users, L), dtype=np.int64)
+    items[:, 0] = rng.integers(0, n_items, size=n_users)
+    items[:, 1] = rng.integers(0, n_items, size=n_users)
+    for t in range(2, L):
+        follow = rng.random(n_users) < markov_strength
+        composed = (items[:, t - 1] // side) * side + (items[:, t - 2] % side)
+        jump = rng.integers(0, n_items, size=n_users)
+        items[:, t] = np.where(follow, composed, jump)
+    valid = np.arange(L)[None, :] < lengths[:, None]
+    users = np.repeat(np.arange(n_users), lengths)
+    flat_items = items[valid]
+    ratings = rng.integers(1, 6, size=flat_items.size)
+    times = np.arange(flat_items.size)
+    return np.stack([users, flat_items, ratings, times], axis=1)
+
+
 def make_dataset(
     dirname: str,
     n_users: int = 500,
@@ -109,14 +156,20 @@ def make_dataset(
     test_size: float = 0.1,
     seed: int = 0,
     vectorized: bool = False,
+    generator: str | None = None,
 ) -> str:
     """Generate interactions and run the full preprocess pipeline into
     ``dirname``. Returns the dataset directory path (with trailing slash).
 
     ``vectorized=True`` uses :func:`generate_interactions_vec` (uniform
-    item popularity, required for large-catalog benchmark datasets)."""
+    item popularity, required for large-catalog benchmark datasets);
+    ``generator="grid"`` uses the second-order compositional regime
+    (:func:`generate_interactions_grid`)."""
     os.makedirs(dirname, exist_ok=True)
-    gen = generate_interactions_vec if vectorized else generate_interactions
+    if generator == "grid":
+        gen = generate_interactions_grid
+    else:
+        gen = generate_interactions_vec if vectorized else generate_interactions
     rows = gen(
         n_users=n_users,
         n_items=n_items,

@@ -144,3 +144,51 @@ def test_sequence_generator_modes(tiny_dataset):
         )
     )
     assert all(2 <= len(s) <= 4 for s, _ in seqs_rand)
+
+
+def test_grid_generator_plants_second_order_signal():
+    """The grid regime (second synthetic quality regime, BASELINE.md):
+    the composed rule (row of i_{t-1}, col of i_{t-2}) must fire at
+    ~markov_strength, and a first-order successor table fit on some
+    users must generalize poorly to held-out users (the signal is
+    second-order by construction)."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from seqrec_tpu.data.synthetic import generate_interactions_grid
+
+    side, strength = 20, 0.6
+    rows = generate_interactions_grid(
+        n_users=400, n_items=side * side, min_len=20, max_len=60,
+        markov_strength=strength, seed=5,
+    )
+    assert rows[:, 1].max() < side * side
+    seqs = defaultdict(list)
+    for u, i, _, _ in rows:
+        seqs[u].append(i)
+
+    hits = total = 0
+    for s in seqs.values():
+        for a, b, c in zip(s, s[1:], s[2:]):
+            hits += int(c == (b // side) * side + (a % side))
+            total += 1
+    assert abs(hits / total - strength) < 0.05
+
+    # first-order table from 350 users, evaluated on the other 50
+    trans = defaultdict(lambda: defaultdict(int))
+    users = sorted(seqs)
+    for u in users[:350]:
+        s = seqs[u]
+        for b, c in zip(s, s[1:]):
+            trans[b][c] += 1
+    mm = n = 0
+    for u in users[350:]:
+        s = seqs[u]
+        for a, b, c in zip(s, s[1:], s[2:]):
+            top = sorted(trans[b], key=lambda x: -trans[b][x])[:10]
+            mm += int(c in top)
+            n += 1
+    # the oracle hits ~strength; first-order tops out near
+    # strength * 10/side + noise — assert a wide margin
+    assert mm / n < strength * 0.75, mm / n
