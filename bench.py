@@ -346,6 +346,27 @@ def matrix_configs():
                 "no_pallas": True,
             }
         )
+    # streaming-CCE attribution: rows above run with the streaming
+    # (flash-style) loss wherever the model gates it on (catalog >=
+    # 16k); these dense-loss controls pin SEQREC_NO_STREAMING_CCE at the
+    # MFU-critical shape, and the extra B=8192 rows chase the combined
+    # ceiling (batch amortization + reduced opt state + streaming loss)
+    for B in (1024, 8192):
+        rows.append(
+            {
+                "H": 256,
+                "catalog": 200_000,
+                "dtype": "f32",
+                "B": B,
+                "no_stream": True,
+            }
+        )
+    rows.append(
+        {"H": 256, "catalog": 200_000, "dtype": "f32", "B": 8192, "opt": "adam_bf16m"}
+    )
+    rows.append(
+        {"H": 256, "catalog": 200_000, "dtype": "bf16", "B": 8192, "opt": "adam_bf16m"}
+    )
     return rows
 
 
@@ -426,6 +447,8 @@ def _row_key(cfg: dict) -> str:
         key += "-" + cfg["opt"]
     if cfg.get("no_pallas"):
         key += "-xla"
+    if cfg.get("no_stream"):
+        key += "-densecce"
     return key
 
 
@@ -479,13 +502,18 @@ def run_matrix(windows: int = 3, n_dispatch: int = 2):
         }
         if cfg.get("no_pallas"):
             row["no_pallas"] = True
+        if cfg.get("no_stream"):
+            row["no_stream"] = True
         prev_np = os.environ.get("SEQREC_NO_PALLAS")
+        prev_ns = os.environ.get("SEQREC_NO_STREAMING_CCE")
         try:
             if cfg.get("no_pallas"):
                 # read at trace time (recurrent._pallas_available), so
                 # setting it before the model's functions are built (and
                 # first traced) pins this row to the XLA scan
                 os.environ["SEQREC_NO_PALLAS"] = "1"
+            if cfg.get("no_stream"):
+                os.environ["SEQREC_NO_STREAMING_CCE"] = "1"
             model = make_model(
                 B, hidden=hidden, n_items=handler.n_items,
                 compute_dtype=dtype, device_init=True, tower=tower, opt=opt,
@@ -503,11 +531,19 @@ def run_matrix(windows: int = 3, n_dispatch: int = 2):
                 (dev_only or value)
                 * flops_per_sequence(hidden, handler.n_items, tower=tower)
             ) / peak * 100.0
+            from seqrec_tpu.ops.streaming_cce import STREAMING_CCE_MIN_ITEMS
+
             row.update(
                 e2e_seq_per_s=round(value, 1),
                 device_only=round(dev_only, 1) if dev_only else None,
                 mfu_pct=round(mfu, 2),
                 pallas_train=pallas_train_engaged(tower, hidden, B),
+                # MFU counts MODEL flops: the streaming loss's extra
+                # recompute pass is (correctly) charged as overhead
+                streaming_cce=bool(
+                    not cfg.get("no_stream")
+                    and handler.n_items >= STREAMING_CCE_MIN_ITEMS
+                ),
                 windows=win,
             )
         except Exception as exc:  # record OOMs, keep the matrix going
@@ -521,6 +557,11 @@ def run_matrix(windows: int = 3, n_dispatch: int = 2):
                     os.environ.pop("SEQREC_NO_PALLAS", None)
                 else:
                     os.environ["SEQREC_NO_PALLAS"] = prev_np
+            if cfg.get("no_stream"):
+                if prev_ns is None:
+                    os.environ.pop("SEQREC_NO_STREAMING_CCE", None)
+                else:
+                    os.environ["SEQREC_NO_STREAMING_CCE"] = prev_ns
         rows.append(row)
         with open(partial, "a") as f:
             f.write(json.dumps(row) + "\n")

@@ -16,18 +16,24 @@ from bench import _ensure_matrix_dataset
 print(_ensure_matrix_dataset(50_000, 20_000))
 EOF
 
-# GRU H=128 (pallas_rnn_train engaged: H>=128), CCE, B=256
+# GRU H=128 (pallas_rnn_train engaged: H>=128), CCE, B=256.
+# --progress counts OPTIMIZER STEPS: 2000 steps x B=256 = 512k sequences
+# ~ 0.43 epochs of the 1.19M-interaction training set per validation.
+# Both legs also train through the streaming-CCE head (the 50k catalog
+# is >= STREAMING_CCE_MIN_ITEMS) — this campaign is the e2e convergence
+# proof for the fused train kernels AND the flash-style loss together.
 time python train.py -d "$OUT/" -m RNN --loss CCE --r_t GRU --r_l 128 \
     --max_length 30 -b 256 --u_m adam --u_l 0.001 --save Best \
-    --progress 400000 --max_iter 40000000 --es_m StopAfterN --es_n 3
+    --progress 2000 --max_iter 200000 --es_m StopAfterN --es_n 3
 
 python test.py -d "$OUT/" -m RNN --loss CCE --r_t GRU --r_l 128 \
     --max_length 30 -b 256 --u_l 0.001 --save
 
-# LSTM H=128 (pallas_lstm_train engaged: H>=128)
+# LSTM H=128 (pallas_lstm_train engaged: H>=128); also exercises the
+# streaming-CCE head (50k catalog >= STREAMING_CCE_MIN_ITEMS)
 time python train.py -d "$OUT/" -m RNN --loss CCE --r_t LSTM --r_l 128 \
     --max_length 30 -b 256 --u_m adam --u_l 0.001 --save Best \
-    --progress 400000 --max_iter 40000000 --es_m StopAfterN --es_n 3
+    --progress 2000 --max_iter 200000 --es_m StopAfterN --es_n 3
 
 python test.py -d "$OUT/" -m RNN --loss CCE --r_t LSTM --r_l 128 \
     --max_length 30 -b 256 --u_l 0.001 --save

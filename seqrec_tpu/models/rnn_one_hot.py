@@ -67,9 +67,14 @@ class RNNOneHot(RNNBase):
         (flash-style) CCE: the [B, n_items] logit matrix never reaches
         HBM (ops/streaming_cce.py — the measured memory bound at
         10^5-item catalogs). Unsharded only: under a mesh, GSPMD already
-        column-shards the logits and inserts the logsumexp psum."""
+        column-shards the logits and inserts the logsumexp psum.
+        SEQREC_NO_STREAMING_CCE=1 pins the dense path (bench controls)."""
+        import os
+
         from seqrec_tpu.ops.streaming_cce import STREAMING_CCE_MIN_ITEMS
 
+        if os.environ.get("SEQREC_NO_STREAMING_CCE"):
+            return False
         return self.mesh is None and self.n_items >= STREAMING_CCE_MIN_ITEMS
 
     def _loss(self, params, batch):
