@@ -7,13 +7,20 @@
 # (/root/reference/test.py:55-59), early stop, then floors.
 # Usage: bash scripts/convergence_run.sh [datadir]
 set -x
-OUT=${1:-/tmp/seqrec_matrix_50k}
+OUT=${1:-/tmp/seqrec_conv_50k}
 cd "$(dirname "$0")/.."
 
-# dataset exists from the bench matrix; (re)create if missing
+# 50k users (vs the bench matrix's 20k): at 20k users each of the 50k
+# items appears ~24x and the GRU overfits before clearing the MM floor
+# (measured: val sps peaks 0.56 at epoch 5 then declines; TEST sps 0.38
+# vs MM 0.40). 3M interactions give ~60 occurrences per item.
 python - <<EOF
-from bench import _ensure_matrix_dataset
-print(_ensure_matrix_dataset(50_000, 20_000))
+from seqrec_tpu.data.synthetic import make_dataset
+import os
+if not os.path.isfile("$OUT/data/stats"):
+    make_dataset("$OUT", n_users=50_000, n_items=50_000, min_len=20,
+                 max_len=100, markov_strength=0.5, seed=4, val_size=100,
+                 test_size=100, vectorized=True)
 EOF
 
 # GRU H=128 (pallas_rnn_train engaged: H>=128), CCE, B=256.
