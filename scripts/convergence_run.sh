@@ -7,20 +7,24 @@
 # (/root/reference/test.py:55-59), early stop, then floors.
 # Usage: bash scripts/convergence_run.sh [datadir]
 set -x
-OUT=${1:-/tmp/seqrec_conv_50k}
+OUT=${1:-/tmp/seqrec_conv_grid50k}
 cd "$(dirname "$0")/.."
 
-# 50k users (vs the bench matrix's 20k): at 20k users each of the 50k
-# items appears ~24x and the GRU overfits before clearing the MM floor
-# (measured: val sps peaks 0.56 at epoch 5 then declines; TEST sps 0.38
-# vs MM 0.40). 3M interactions give ~60 occurrences per item.
+# Dataset choice (measured rationale): on first-order planted data the
+# Markov baseline IS near-Bayes, so "beat the MM floor" is structurally
+# out of reach at 50k items — measured GRU val 0.47 / test ~MM on the
+# uniform regime (MM 0.44), and a zipf regime caps the achievable edge
+# at ~+0.02 (probe in data/synthetic.py history). The GRID regime's
+# compositional second-order signal caps MM near strength*10/sqrt(N)
+# (~0.03 at 50k items) while a sequence model can learn the (row, col)
+# factorization — a decisive, honest floor test at MXU shapes.
 python - <<EOF
 from seqrec_tpu.data.synthetic import make_dataset
 import os
 if not os.path.isfile("$OUT/data/stats"):
-    make_dataset("$OUT", n_users=50_000, n_items=50_000, min_len=20,
-                 max_len=100, markov_strength=0.5, seed=4, val_size=100,
-                 test_size=100, vectorized=True)
+    make_dataset("$OUT", n_users=50_000, n_items=50_176, min_len=20,
+                 max_len=100, markov_strength=0.6, seed=4, val_size=100,
+                 test_size=100, generator="grid")
 EOF
 
 # GRU H=128 (pallas_rnn_train engaged: H>=128), CCE, B=256.
@@ -31,7 +35,7 @@ EOF
 # proof for the fused train kernels AND the flash-style loss together.
 time python train.py -d "$OUT/" -m RNN --loss CCE --r_t GRU --r_l 128 \
     --max_length 30 -b 256 --u_m adam --u_l 0.001 --save Best \
-    --progress 2000 --max_iter 200000 --es_m StopAfterN --es_n 3
+    --progress 2000 --max_iter 200000 --es_m StopAfterN --es_n 6
 
 python test.py -d "$OUT/" -m RNN --loss CCE --r_t GRU --r_l 128 \
     --max_length 30 -b 256 --u_l 0.001 --save
@@ -40,7 +44,7 @@ python test.py -d "$OUT/" -m RNN --loss CCE --r_t GRU --r_l 128 \
 # streaming-CCE head (50k catalog >= STREAMING_CCE_MIN_ITEMS)
 time python train.py -d "$OUT/" -m RNN --loss CCE --r_t LSTM --r_l 128 \
     --max_length 30 -b 256 --u_m adam --u_l 0.001 --save Best \
-    --progress 2000 --max_iter 200000 --es_m StopAfterN --es_n 3
+    --progress 2000 --max_iter 200000 --es_m StopAfterN --es_n 6
 
 python test.py -d "$OUT/" -m RNN --loss CCE --r_t LSTM --r_l 128 \
     --max_length 30 -b 256 --u_l 0.001 --save

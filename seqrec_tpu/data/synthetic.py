@@ -65,29 +65,65 @@ def generate_interactions_vec(
     max_len: int = 100,
     markov_strength: float = 0.5,
     seed: int = 0,
+    zipf: float = 0.0,
 ) -> np.ndarray:
     """Vectorized variant of :func:`generate_interactions` for LARGE
     catalogs (the per-interaction Python loop above takes minutes at
     10^5-item catalogs; this walks all users' Markov chains in parallel,
     one numpy pass per timestep).
 
-    Non-Markov draws are uniform over the catalog rather than Zipf so a
-    bounded number of draws covers the whole catalog (a 200k-item bench
-    dataset should actually have ~200k items after preprocessing). The
-    planted structure (probability ``markov_strength`` of following a
-    fixed successor permutation) is the same, which is what lets
-    sequence models beat the POP floor.
+    With ``zipf=0`` (default) non-Markov draws are uniform over the
+    catalog so a bounded number of draws covers the whole catalog (a
+    200k-item bench dataset should actually have ~200k items after
+    preprocessing). With ``zipf>0`` the loop generator's regime is
+    reproduced at scale: non-Markov draws follow a (shuffled) Zipf
+    popularity and a draw that repeats an already-consumed item is
+    redrawn once with probability 1/2 — the structure that lets an RNN
+    BEAT the Markov floor (popularity fills ranks 2..10 and rare items'
+    successor estimates need cross-item generalization), exactly like
+    the ML-1M-scale dataset in BASELINE.md. Uniform mode keeps MM as
+    the near-Bayes predictor (measured: GRU val 0.47 vs MM 0.44 at 50k
+    items), so quality campaigns use zipf>0.
     """
     rng = np.random.default_rng(seed)
     succ = rng.permutation(n_items)
     lengths = rng.integers(min_len, max_len + 1, size=n_users)
     L = int(lengths.max())
     items = np.zeros((n_users, L), dtype=np.int64)
-    items[:, 0] = rng.integers(0, n_items, size=n_users)
-    for t in range(1, L):
-        follow = rng.random(n_users) < markov_strength
-        jump = rng.integers(0, n_items, size=n_users)
-        items[:, t] = np.where(follow, succ[items[:, t - 1]], jump)
+
+    if zipf > 0.0:
+        pop = (1.0 / np.arange(1, n_items + 1) ** zipf)
+        pop = rng.permutation(pop / pop.sum())
+        cum = np.cumsum(pop)
+
+        def draw(n):
+            return np.minimum(
+                np.searchsorted(cum, rng.random(n)), n_items - 1
+            )
+
+        def seen_before(cand, t):
+            # membership of cand in each user's first t items (the loop
+            # generator's ``item in seen``), vectorized per timestep
+            if t == 0:
+                return np.zeros(len(cand), dtype=bool)
+            return (items[:, :t] == cand[:, None]).any(axis=1)
+
+        items[:, 0] = draw(n_users)
+        for t in range(1, L):
+            follow = rng.random(n_users) < markov_strength
+            nxt = np.where(follow, succ[items[:, t - 1]], draw(n_users))
+            # repeat-avoidance (generate_interactions:52-54): half of the
+            # repeated draws are replaced by a fresh popularity draw
+            redraw = seen_before(nxt, t) & (rng.random(n_users) < 0.5)
+            if redraw.any():
+                nxt[redraw] = draw(int(redraw.sum()))
+            items[:, t] = nxt
+    else:
+        items[:, 0] = rng.integers(0, n_items, size=n_users)
+        for t in range(1, L):
+            follow = rng.random(n_users) < markov_strength
+            jump = rng.integers(0, n_items, size=n_users)
+            items[:, t] = np.where(follow, succ[items[:, t - 1]], jump)
     valid = np.arange(L)[None, :] < lengths[:, None]
     users = np.repeat(np.arange(n_users), lengths)
     flat_items = items[valid]
@@ -157,6 +193,7 @@ def make_dataset(
     seed: int = 0,
     vectorized: bool = False,
     generator: str | None = None,
+    zipf: float = 0.0,
 ) -> str:
     """Generate interactions and run the full preprocess pipeline into
     ``dirname``. Returns the dataset directory path (with trailing slash).
@@ -170,6 +207,7 @@ def make_dataset(
         gen = generate_interactions_grid
     else:
         gen = generate_interactions_vec if vectorized else generate_interactions
+    kwargs = {"zipf": zipf} if (vectorized and generator != "grid") else {}
     rows = gen(
         n_users=n_users,
         n_items=n_items,
@@ -177,6 +215,7 @@ def make_dataset(
         max_len=max_len,
         markov_strength=markov_strength,
         seed=seed,
+        **kwargs,
     )
     raw = os.path.join(dirname, "interactions.tsv")
     if vectorized:
