@@ -27,27 +27,29 @@ if not os.path.isfile("$OUT/data/stats"):
                  test_size=100, generator="grid")
 EOF
 
-# GRU H=128 (pallas_rnn_train engaged: H>=128), CCE, B=256.
-# --progress counts OPTIMIZER STEPS: 2000 steps x B=256 = 512k sequences
-# ~ 0.43 epochs of the 1.19M-interaction training set per validation.
+# GRU H=128 (pallas_rnn_train engaged at B=1024/H=128), CCE.
+# --progress counts OPTIMIZER STEPS: 1000 steps x B=1024 ~ 0.35 epochs
+# of the ~3M-interaction training set per validation. B=1024 / lr 0.002:
+# the 50k-cell composition starts slow (measured: cost 10.8 -> 9.2 over
+# 1.4 epochs at B=256/lr 0.001 with val sps still 0), so the campaign
+# runs bigger steps with real patience (es_n 8 ~ 3 epochs).
 # Both legs also train through the streaming-CCE head (the 50k catalog
 # is >= STREAMING_CCE_MIN_ITEMS) — this campaign is the e2e convergence
 # proof for the fused train kernels AND the flash-style loss together.
 time python train.py -d "$OUT/" -m RNN --loss CCE --r_t GRU --r_l 128 \
-    --max_length 30 -b 256 --u_m adam --u_l 0.001 --save Best \
-    --progress 2000 --max_iter 200000 --es_m StopAfterN --es_n 6
+    --max_length 30 -b 1024 --u_m adam --u_l 0.002 --save Best \
+    --progress 1000 --max_iter 50000 --es_m StopAfterN --es_n 8
 
 python test.py -d "$OUT/" -m RNN --loss CCE --r_t GRU --r_l 128 \
-    --max_length 30 -b 256 --u_l 0.001 --save
+    --max_length 30 -b 1024 --u_l 0.002 --save
 
-# LSTM H=128 (pallas_lstm_train engaged: H>=128); also exercises the
-# streaming-CCE head (50k catalog >= STREAMING_CCE_MIN_ITEMS)
+# LSTM H=128 (pallas_lstm_train engaged: H>=128)
 time python train.py -d "$OUT/" -m RNN --loss CCE --r_t LSTM --r_l 128 \
-    --max_length 30 -b 256 --u_m adam --u_l 0.001 --save Best \
-    --progress 2000 --max_iter 200000 --es_m StopAfterN --es_n 6
+    --max_length 30 -b 1024 --u_m adam --u_l 0.002 --save Best \
+    --progress 1000 --max_iter 50000 --es_m StopAfterN --es_n 8
 
 python test.py -d "$OUT/" -m RNN --loss CCE --r_t LSTM --r_l 128 \
-    --max_length 30 -b 256 --u_l 0.001 --save
+    --max_length 30 -b 1024 --u_l 0.002 --save
 
 # floors
 for m in POP MM; do

@@ -20,24 +20,24 @@ EOF
 
 # parity config RNN (GRU-50) — must clearly beat MM here
 time python train.py -d "$OUT/" -m RNN --loss CCE --r_t GRU --r_l 50 \
-    --max_length 30 -b 16 --u_m adam --u_l 0.001 --save Best \
-    --progress 4000 --max_iter 60000 --es_m StopAfterN --es_n 3
+    --max_length 30 -b 64 --u_m adam --u_l 0.002 --save Best \
+    --progress 1500 --max_iter 60000 --es_m StopAfterN --es_n 6
 python test.py -d "$OUT/" -m RNN --loss CCE --r_t GRU --r_l 50 \
-    --max_length 30 -b 16 --u_l 0.001 --save
+    --max_length 30 -b 64 --u_l 0.002 --save
 
 # sampled BPR
 time python train.py -d "$OUT/" -m RNN --loss BPR --sampling 256 --r_t GRU --r_l 50 \
-    --max_length 30 -b 64 --u_m adam --u_l 0.001 --save Best \
-    --progress 4000 --max_iter 60000 --es_m StopAfterN --es_n 3
+    --max_length 30 -b 64 --u_m adam --u_l 0.002 --save Best \
+    --progress 1500 --max_iter 60000 --es_m StopAfterN --es_n 6
 python test.py -d "$OUT/" -m RNN --loss BPR --sampling 256 --r_t GRU --r_l 50 \
-    --max_length 30 -b 64 --u_l 0.001 --save
+    --max_length 30 -b 64 --u_l 0.002 --save
 
 # margin hinge
 time python train.py -d "$OUT/" -m RNN --loss hinge --r_t GRU --r_l 50 \
-    --max_length 30 -b 64 --u_m adam --u_l 0.001 --save Best \
-    --progress 4000 --max_iter 60000 --es_m StopAfterN --es_n 3
+    --max_length 30 -b 64 --u_m adam --u_l 0.002 --save Best \
+    --progress 1500 --max_iter 60000 --es_m StopAfterN --es_n 6
 python test.py -d "$OUT/" -m RNN --loss hinge --r_t GRU --r_l 50 \
-    --max_length 30 -b 64 --u_l 0.001 --save
+    --max_length 30 -b 64 --u_l 0.002 --save
 
 # floors + FPMC (first-order MC term: should trail the RNNs here)
 for m in POP MM UKNN; do
