@@ -566,7 +566,7 @@ class RNNBase:
             fused = self._fused_topk(params, ids, id_mask, mask, seen_ids, seen_mask, k)
             if fused is not None:
                 return fused
-            scores = self._scores(params, ids, id_mask, mask)
+            scores = self._rank_scores(params, ids, id_mask, mask)
             return masked_top_k(scores, k, seen_ids, seen_mask)
 
         self._topk_jit = jax.jit(topk_fn, static_argnums=(6,))
@@ -594,6 +594,14 @@ class RNNBase:
     # subclasses with a monotone head (softmax/identity over h·W_out+b)
     # set this to route batched eval through the fused Pallas kernel
     fused_eval_head = False
+
+    def _rank_scores(self, params, ids, id_mask, mask):
+        """Scores used ONLY for top-k ranking. Monotone-head models
+        override this to return raw logits: softmax is order-preserving
+        per row, and skipping it saves two [B, n_items] HBM passes plus
+        the exp at catalog scale (``_scores`` keeps the probability
+        semantics for every other consumer)."""
+        return self._scores(params, ids, id_mask, mask)
 
     # subclasses whose params carry the recurrent tower's sparse input
     # table (models replacing the tower — FISMCluster, SDAE — opt out)

@@ -110,6 +110,10 @@ class RNNOneHot(RNNBase):
         # deterministic output = softmax over the catalog (rnn_one_hot.py:65)
         return jax.nn.softmax(self._logits(params, ids, id_mask, mask, fast=True), axis=-1)
 
+    def _rank_scores(self, params, ids, id_mask, mask):
+        # ranking raw logits == ranking the softmax (base._rank_scores)
+        return self._logits(params, ids, id_mask, mask, fast=True)
+
     def _finalize_packed_batch(self, packed, target_ratings):
         packed["target_pop"] = (
             self.dataset.item_popularity[packed["targets"]] ** self.diversity_bias

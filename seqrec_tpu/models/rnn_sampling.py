@@ -106,6 +106,11 @@ class RNNSampling(RNNBase):
         logits = self._out_matmul(h, params["W_out"], params["b_out"])
         return jax.nn.softmax(logits, axis=-1)
 
+    def _rank_scores(self, params, ids, id_mask, mask):
+        # ranking raw logits == ranking the softmax (base._rank_scores)
+        h = self.recurrent_layer.apply(params["tower"], ids, mask, id_mask, fast=True)
+        return self._out_matmul(h, params["W_out"], params["b_out"])
+
     # ------------------------------------------------------------------
     def _draw_samples(self) -> np.ndarray:
         if self.sampling_bias > 0:
