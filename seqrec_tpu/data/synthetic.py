@@ -141,24 +141,33 @@ def generate_interactions_grid(
     max_len: int = 40,
     markov_strength: float = 0.6,
     seed: int = 0,
+    grid_cols: int | None = None,
 ) -> np.ndarray:
     """Compositional SECOND-order regime: the signal a first-order
     Markov model cannot capture.
 
-    Items live on a sqrt(n) x sqrt(n) grid. With probability
+    Items live on a (n/cols) x cols grid. With probability
     ``markov_strength`` the next item is the grid cell
     ``(row(i_{t-1}), col(i_{t-2}))`` — it composes the LAST item's row
-    with the SECOND-TO-LAST item's column; otherwise a Zipf popularity
-    draw. Conditioning on the previous item alone pins only the row, so
-    a first-order model's mass spreads over sqrt(n) columns (sps bounded
-    near q*10/sqrt(n) + pop floor), while a sequence model with two
-    steps of memory and factorized item embeddings can recover the exact
-    cell. This is the complement of :func:`generate_interactions`'s
-    first-order regime, where the Markov baseline wins by construction
-    (BASELINE.md quality table)."""
+    with the SECOND-TO-LAST item's column; otherwise a uniform jump.
+    Conditioning on the previous item alone pins only the row, so a
+    first-order model's mass spreads over the columns (sps bounded near
+    q*10/cols + floor), while a sequence model with two steps of memory
+    and factorized item embeddings can recover the exact cell. This is
+    the complement of :func:`generate_interactions`'s first-order
+    regime, where the Markov baseline wins by construction (BASELINE.md
+    quality tables).
+
+    ``grid_cols`` (default sqrt(n)) sets the column count. At large
+    catalogs use FEWER columns than rows: the learnable structure is a
+    cols-way classification of i_{t-2} (examples per column class =
+    n_interactions/cols), and a symmetric 223x223 grid at 50k items was
+    measured memorization-dominated — the GRU drove train cost to 3.7
+    while held-out sps stayed at the first-order cap (0.04); 64 columns
+    give each column class ~n/64 items' worth of evidence."""
     rng = np.random.default_rng(seed)
-    side = int(np.sqrt(n_items))
-    n_items = side * side  # snap to a full grid
+    side = int(np.sqrt(n_items)) if grid_cols is None else grid_cols
+    n_items = (n_items // side) * side  # snap to a full grid
     # UNIFORM non-Markov draws: a popularity skew would concentrate the
     # column marginal of i_{t-2}, letting a first-order model cover the
     # composed cells with a few popular columns (measured: Zipf jumps
@@ -194,6 +203,7 @@ def make_dataset(
     vectorized: bool = False,
     generator: str | None = None,
     zipf: float = 0.0,
+    grid_cols: int | None = None,
 ) -> str:
     """Generate interactions and run the full preprocess pipeline into
     ``dirname``. Returns the dataset directory path (with trailing slash).
@@ -205,9 +215,10 @@ def make_dataset(
     os.makedirs(dirname, exist_ok=True)
     if generator == "grid":
         gen = generate_interactions_grid
+        kwargs = {"grid_cols": grid_cols} if grid_cols else {}
     else:
         gen = generate_interactions_vec if vectorized else generate_interactions
-    kwargs = {"zipf": zipf} if (vectorized and generator != "grid") else {}
+        kwargs = {"zipf": zipf} if vectorized else {}
     rows = gen(
         n_users=n_users,
         n_items=n_items,
