@@ -79,7 +79,7 @@ class RNNOneHot(RNNBase):
 
     def _loss(self, params, batch):
         if self._use_streaming_head():
-            from seqrec_tpu.ops.streaming_cce import CHUNK_COLS, streaming_cce
+            from seqrec_tpu.ops.streaming_cce import pick_chunk, streaming_cce
 
             h = self.recurrent_layer.apply(
                 params["tower"], batch["ids"], batch["mask"],
@@ -89,7 +89,7 @@ class RNNOneHot(RNNBase):
             # nondiff_argnums binds by position
             per_ex = streaming_cce(
                 h, params["W_out"], params["b_out"], batch["targets"],
-                CHUNK_COLS, self.compute_dtype,
+                pick_chunk(self.n_items), self.compute_dtype,
             )
             cost = (per_ex / batch["target_pop"]).mean()
         else:

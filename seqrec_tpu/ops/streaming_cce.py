@@ -57,6 +57,19 @@ STREAMING_CCE_MIN_ITEMS = 16384
 CHUNK_COLS = 1024
 
 
+def pick_chunk(N: int, lo: int = 512, hi: int = 2048) -> int:
+    """Largest chunk in [lo, hi] that divides N, else CHUNK_COLS.
+
+    A dividing chunk lets the scan reshape ``W`` without the
+    pad-to-multiple copy (two [H, N] HBM round trips per step — fwd and
+    bwd each pad); most catalog sizes have a divisor in range (200000 →
+    2000, 50000 → 2000)."""
+    for c in range(min(hi, N), lo - 1, -1):
+        if N % c == 0:
+            return c
+    return CHUNK_COLS
+
+
 def _pad_cols(W: jax.Array, b: jax.Array, chunk: int):
     """Pad the column dim to a chunk multiple. Pad bias = -1e30 so padded
     columns contribute exp(-inf)=0 to the sum-exp and can never be a max
