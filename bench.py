@@ -415,24 +415,12 @@ def load_or_run_matrix(force: bool = False):
 
 
 def pallas_train_engaged(tower: str, H: int, B: int) -> bool:
-    """Mirror of the train-kernel gating in recurrent.py (measured win
-    regions + VMEM fit) so matrix rows record whether the shape engaged
-    the fused custom-VJP scan."""
-    if os.environ.get("SEQREC_NO_PALLAS"):
-        return False
-    Hp = -(-H // 64) * 64
-    G = 4 if tower == "LSTM" else 3
-    if tower == "LSTM":
-        from seqrec_tpu.ops.pallas_lstm_train import lstm_train_block_b
+    """The production gating predicate (single source of truth in
+    recurrent.train_kernel_engages) so matrix rows record whether the
+    shape engaged the fused custom-VJP scan."""
+    from seqrec_tpu.models.recurrent import train_kernel_engages
 
-        fits = lstm_train_block_b(B, Hp, G * Hp) is not None
-        wins = Hp >= 128
-    else:
-        from seqrec_tpu.ops.pallas_rnn_train import train_block_b
-
-        fits = train_block_b(B, Hp, G * Hp) is not None
-        wins = Hp >= 128 or B <= 256
-    return bool(fits and H == Hp and B >= 64 and wins)
+    return train_kernel_engages(tower, B, H)
 
 
 def _row_key(cfg: dict) -> str:

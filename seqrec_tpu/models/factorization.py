@@ -441,12 +441,18 @@ class MFBase:
         N = self.n_items
         lam = float(self.sampling_bias)
         k1, k2 = jax.random.split(key)
-        # rank ~ Exp(lam) conditioned on rank < N, by inverse CDF — the
-        # distribution of the host's redraw-while->=N loop (bprmf.py:88)
-        v = jax.random.uniform(k1, (R, n))
-        fmax = 1.0 - np.exp(-N / lam)
-        rank = jnp.floor(-lam * jnp.log1p(-v * fmax)).astype(jnp.int32)
-        rank = jnp.minimum(rank, N - 1)  # float-rounding guard
+        if lam <= 0.0:
+            # host parity: rng.exponential(scale=0) returns all zeros,
+            # i.e. always the top-ranked item per factor
+            rank = jnp.zeros((R, n), jnp.int32)
+        else:
+            # rank ~ Exp(lam) conditioned on rank < N, by inverse CDF —
+            # the distribution of the host's redraw-while->=N loop
+            # (bprmf.py:88)
+            v = jax.random.uniform(k1, (R, n))
+            fmax = 1.0 - np.exp(-N / lam)
+            rank = jnp.floor(-lam * jnp.log1p(-v * fmax)).astype(jnp.int32)
+            rank = jnp.minimum(rank, N - 1)  # float-rounding guard
         # factor ~ Categorical(weights) per row (CDF inversion, fresh
         # draw per rejection round like the host path)
         cum = jnp.cumsum(weights, axis=1)  # [n, F]

@@ -53,6 +53,28 @@ def _pallas_available() -> bool:
         return False
 
 
+def train_kernel_engages(tower: str, B: int, H: int) -> bool:
+    """Whether the fused custom-VJP train scan runs for this shape —
+    the SINGLE source of truth for the gating also applied inside
+    ``apply`` (VMEM fit + measured win regions + platform); bench.py
+    reports it per matrix row."""
+    if not _pallas_available():
+        return False
+    Hp = -(-H // 64) * 64
+    G = 4 if tower == "LSTM" else 3
+    if tower == "LSTM":
+        from seqrec_tpu.ops.pallas_lstm_train import lstm_train_block_b
+
+        fits = lstm_train_block_b(B, Hp, G * Hp) is not None
+        wins = Hp >= 128
+    else:
+        from seqrec_tpu.ops.pallas_rnn_train import train_block_b
+
+        fits = train_block_b(B, Hp, G * Hp) is not None
+        wins = Hp >= 128 or B <= 256
+    return bool(fits and H == Hp and B >= 64 and wins)
+
+
 def recurrent_layers_command_parser(parser) -> None:
     parser.add_argument(
         "--r_t",
@@ -271,27 +293,17 @@ class RecurrentLayers:
             n_gates = 4 if self.layer_type == "LSTM" else 3
             if fast == "train":
                 # the train kernels stream time in chunks, so their VMEM
-                # gate is the backward footprint, not the full-L block
-                if self.layer_type == "GRU":
-                    from seqrec_tpu.ops.pallas_rnn_train import train_block_b
-
-                    fits = train_block_b(B, Hp, n_gates * Hp) is not None
-                    # measured win region (v5e device traces, us/grad):
-                    # H=128: 1.44x at B=256, 1.22x e2e at B=1024;
-                    # H=64: 1.43x at B=256 but 0.74x at B=1024
-                    wins = Hp >= 128 or B <= 256
-                else:
-                    from seqrec_tpu.ops.pallas_lstm_train import lstm_train_block_b
-
-                    fits = lstm_train_block_b(B, Hp, n_gates * Hp) is not None
-                    # measured: 1.37x (B=256) / 1.59x (B=1024) at H=128;
-                    # 0.72x at H=64 — small hidden sizes stay on XLA
-                    wins = Hp >= 128
-                train_ok = H == Hp and B >= 64 and wins
+                # gate is the backward footprint, not the full-L block.
+                # Measured win regions (v5e device traces, us/grad):
+                # GRU H=128: 1.44x at B=256, 1.22x e2e at B=1024; H=64:
+                # 1.43x at B=256 but 0.74x at B=1024. LSTM: 1.37x
+                # (B=256) / 1.59x (B=1024) at H=128; 0.72x at H=64 —
+                # small hidden sizes stay on XLA. Single source of
+                # truth: train_kernel_engages (bench.py reports it).
+                engaged = train_kernel_engages(self.layer_type, B, H)
             else:
-                fits = auto_block_b(B, L, n_gates * Hp) is not None
-                train_ok = True
-            if fits and train_ok:
+                engaged = auto_block_b(B, L, n_gates * Hp) is not None
+            if engaged:
                 if backwards:
                     # a backwards final state IS the forward kernel's
                     # final state on the time-flipped inputs; the flip is

@@ -144,6 +144,23 @@ class Adam(UpdateManager):
         )
 
 
+def _stochastic_round_bf16(key, x32):
+    """Unbiased float32 → bfloat16 rounding: add a uniform random value
+    in [0, 1) of the dropped-mantissa ulp to the low 16 bits, truncate.
+
+    Round-to-NEAREST would silently ABSORB small EMA increments: Adam's
+    second moment moves by (1-b2)=0.001 of itself per step, below
+    bf16's ~0.4% ulp, so nearest-rounding freezes nu forever (verified:
+    2000 zero-grad steps leave a nearest-rounded nu exactly at 1.0 while
+    f32 decays to 0.135). Stochastic rounding keeps every increment in
+    expectation, which is all an EMA needs."""
+    bits = jax.lax.bitcast_convert_type(x32, jnp.uint32)
+    noise = jax.random.bits(key, x32.shape, jnp.uint32) & jnp.uint32(0xFFFF)
+    return jax.lax.bitcast_convert_type(
+        ((bits + noise) >> 16) << 16, jnp.float32
+    ).astype(jnp.bfloat16)
+
+
 def _scale_by_adam_bf16_moments(b1: float, b2: float, eps: float):
     """Adam moment tracking with BOTH moments stored in bfloat16.
 
@@ -151,15 +168,14 @@ def _scale_by_adam_bf16_moments(b1: float, b2: float, eps: float):
     HBM traffic, not matmuls — dense Adam reads+writes 16 B/param of
     moment state per step (measured in BASELINE.md's MXU matrix: ~5.7 GB
     per step at H=256/200k vs ~3.6 ms of matmul). bf16 storage halves
-    that to 8 B/param; the accumulate/update math still runs in f32
-    registers, so only the STORAGE is rounded (one stochastic-free
-    round-to-nearest per step, the standard mixed-precision Adam recipe).
+    that to 8 B/param; the accumulate/update math runs in f32 registers
+    and the STORE uses stochastic rounding (see _stochastic_round_bf16 —
+    nearest-rounding would absorb the second moment's (1-b2)-sized
+    increments entirely).
 
-    Precision note: bf16 keeps 8 mantissa bits. For the first moment
-    (EMA of gradients) this is benign; for the second, the relative
-    rounding error (~0.4%) is far below the run-to-run gradient noise at
-    these shapes. `tests/test_lazy_updates.py::test_bf16_moment_adam`
-    asserts trajectory closeness against f32 Adam.
+    `tests/test_optimizers.py` asserts short-horizon trajectory
+    closeness against f32 Adam AND long-horizon EMA tracking (the
+    absorption regression test).
     """
 
     def init_fn(params):
@@ -176,18 +192,29 @@ def _scale_by_adam_bf16_moments(b1: float, b2: float, eps: float):
         c = count.astype(jnp.float32)
         bc1 = 1.0 - b1**c
         bc2 = 1.0 - b2**c
+        # deterministic per-step stream: reproducible given the step
+        # count, independent across steps and leaves
+        base_key = jax.random.fold_in(jax.random.PRNGKey(0x5EED), count)
 
-        def step(g, m, v):
+        def step(i, g, m, v):
+            k1, k2 = jax.random.split(jax.random.fold_in(base_key, i))
             g32 = g.astype(jnp.float32)
             m32 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g32
             v32 = b2 * v.astype(jnp.float32) + (1.0 - b2) * (g32 * g32)
             upd = (m32 / bc1) / (jnp.sqrt(v32 / bc2) + eps)
-            return upd, m32.astype(jnp.bfloat16), v32.astype(jnp.bfloat16)
+            return (
+                upd,
+                _stochastic_round_bf16(k1, m32),
+                _stochastic_round_bf16(k2, v32),
+            )
 
         flat, treedef = jax.tree_util.tree_flatten(updates)
         mu_flat = treedef.flatten_up_to(state.mu)
         nu_flat = treedef.flatten_up_to(state.nu)
-        out = [step(g, m, v) for g, m, v in zip(flat, mu_flat, nu_flat)]
+        out = [
+            step(i, g, m, v)
+            for i, (g, m, v) in enumerate(zip(flat, mu_flat, nu_flat))
+        ]
         upd = treedef.unflatten([o[0] for o in out])
         mu = treedef.unflatten([o[1] for o in out])
         nu = treedef.unflatten([o[2] for o in out])

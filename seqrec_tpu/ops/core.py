@@ -119,6 +119,10 @@ def grouped_top_k(scores: jax.Array, k: int):
     vals, ci = jax.lax.top_k(cand.reshape(B, k * _GROUP), k)
     group_of = jnp.take_along_axis(gsel, ci // _GROUP, axis=1)
     ids = group_of * _GROUP + ci % _GROUP
+    # degenerate rows (fewer than k finite scores) can surface -inf pad
+    # slots whose synthesized ids fall outside the catalog; clamp to
+    # preserve lax.top_k's ids-always-in-range contract
+    ids = jnp.minimum(ids, N - 1)
     return vals, ids.astype(jnp.int32)
 
 

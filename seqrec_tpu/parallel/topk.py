@@ -72,9 +72,13 @@ def sharded_score_topk(
         )
         # large local shards route through the exact two-level selection
         # (XLA TopK is a full per-row sort on TPU — see ops/core.py)
-        from seqrec_tpu.ops.core import GROUPED_TOPK_MIN_ITEMS, grouped_top_k
+        from seqrec_tpu.ops.core import (
+            _GROUP,
+            GROUPED_TOPK_MIN_ITEMS,
+            grouped_top_k,
+        )
 
-        if n_local >= GROUPED_TOPK_MIN_ITEMS and n_local >= k * 128:
+        if n_local >= GROUPED_TOPK_MIN_ITEMS and n_local >= k * _GROUP:
             vals, ids = grouped_top_k(scores, k)
         else:
             vals, ids = jax.lax.top_k(scores, k)

@@ -79,6 +79,41 @@ def test_bf16_moment_state_is_bfloat16():
     assert moment_dtypes == {jnp.dtype(jnp.bfloat16)}
 
 
+def test_bf16_moments_track_small_ema_increments():
+    """Absorption regression: Adam's second moment moves by (1-b2)=0.001
+    of itself per step — below bf16's ~0.4% ulp, so a round-to-NEAREST
+    store freezes nu forever. The stochastic-rounding store must track
+    the EMA in expectation: after many zero-gradient steps nu must
+    decay, and under a constant gradient it must grow toward g^2."""
+    import optax
+
+    from seqrec_tpu.models.updates import _scale_by_adam_bf16_moments
+
+    tx = _scale_by_adam_bf16_moments(0.9, 0.999, 1e-8)
+    params = {"w": jnp.ones((64,), jnp.float32)}
+    state = tx.init(params)
+    # seed nu at 1.0
+    state = optax.ScaleByAdamState(
+        count=state.count,
+        mu=state.mu,
+        nu={"w": jnp.ones((64,), jnp.bfloat16)},
+    )
+    zero = {"w": jnp.zeros((64,), jnp.float32)}
+    for _ in range(1500):
+        _, state = tx.update(zero, state)
+    decayed = float(np.asarray(state.nu["w"], dtype=np.float32).mean())
+    want = 0.999**1500  # ~0.223
+    assert abs(decayed - want) < 0.1 * want + 0.02, decayed
+
+    g = {"w": jnp.full((64,), 2.0, jnp.float32)}
+    for _ in range(1500):
+        _, state = tx.update(g, state)
+    grown = float(np.asarray(state.nu["w"], dtype=np.float32).mean())
+    # analytic f32 EMA toward g^2=4 from `decayed` after 1500 steps
+    want = 4.0 - (4.0 - decayed) * 0.999**1500
+    assert abs(grown - want) < 0.1 * want, (grown, want)
+
+
 def test_bf16_moment_checkpoint_name_and_cli():
     import argparse
 

@@ -51,6 +51,8 @@ def test_grouped_top_k_matches_lax_top_k():
     from seqrec_tpu.ops.core import grouped_top_k
 
     rng = np.random.default_rng(0)
+    # NB: (4, 1000, 10) has G=8 < k and covers the lax.top_k FALLBACK
+    # branch; the other two exercise the two-level selection itself
     for B, N, k in ((4, 1000, 10), (3, 4096, 5), (2, 1280, 10)):
         scores = jnp.asarray(rng.normal(size=(B, N)).astype(np.float32))
         want_v, want_i = jax.lax.top_k(scores, k)

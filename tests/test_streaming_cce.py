@@ -71,13 +71,27 @@ def test_extreme_logits_stable():
 
 def test_model_integration_matches_dense_loss():
     """RNNOneHot routed through the streaming head must produce the same
-    loss and the same one-step parameter update as the dense path."""
+    loss and the same one-step parameter update as the dense path.
+
+    The gate (``_use_streaming_head``) is read at TRACE time — the first
+    ``train_function`` call — so the threshold patch must stay active
+    through that call, not just through construction (an earlier version
+    restored it too early and compared dense against dense)."""
     from seqrec_tpu.models.recurrent import RecurrentLayers
     from seqrec_tpu.models.rnn_one_hot import RNNOneHot
     from seqrec_tpu.models.updates import Adam
     from seqrec_tpu.ops import streaming_cce as sc
 
-    def build(min_items):
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 40, size=(4, 4)).astype(np.int32)
+    batch = {
+        "ids": ids[..., None],
+        "mask": np.ones((4, 4), dtype=np.float32),
+        "targets": rng.integers(0, 40, size=(4,)).astype(np.int32),
+        "target_pop": np.ones((4,), dtype=np.float32),
+    }
+
+    def run(min_items):
         old = sc.STREAMING_CCE_MIN_ITEMS
         sc.STREAMING_CCE_MIN_ITEMS = min_items
         try:
@@ -92,23 +106,13 @@ def test_model_integration_matches_dense_loss():
             m.params = m._init_params()
             m._build_functions()
             m.opt_state = m._opt.init(m.params)
+            assert m._use_streaming_head() == (min_items <= 40)
+            cost = m.train_function(dict(batch))  # traces under the patch
         finally:
             sc.STREAMING_CCE_MIN_ITEMS = old
-        return m
+        return float(cost), np.asarray(m.params["W_out"])
 
-    rng = np.random.default_rng(0)
-    ids = rng.integers(0, 40, size=(4, 4)).astype(np.int32)
-    batch = {
-        "ids": ids[..., None],
-        "mask": np.ones((4, 4), dtype=np.float32),
-        "targets": rng.integers(0, 40, size=(4,)).astype(np.int32),
-        "target_pop": np.ones((4,), dtype=np.float32),
-    }
-    dense, stream = build(10**9), build(8)  # force off / force on
-    cd = dense.train_function(dict(batch))
-    cs = stream.train_function(dict(batch))
-    np.testing.assert_allclose(float(cd), float(cs), rtol=1e-5)
-    np.testing.assert_allclose(
-        np.asarray(dense.params["W_out"]), np.asarray(stream.params["W_out"]),
-        rtol=1e-4, atol=1e-6,
-    )
+    cd, wd = run(10**9)  # force dense
+    cs, ws = run(8)  # force streaming
+    np.testing.assert_allclose(cd, cs, rtol=1e-5)
+    np.testing.assert_allclose(wd, ws, rtol=1e-4, atol=1e-6)
