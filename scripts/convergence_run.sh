@@ -7,27 +7,26 @@
 # (/root/reference/test.py:55-59), early stop, then floors.
 # Usage: bash scripts/convergence_run.sh [datadir]
 set -x
-OUT=${1:-/tmp/seqrec_conv_agrid50k}
+OUT=${1:-/tmp/seqrec_conv_lag2_50k}
 cd "$(dirname "$0")/.."
 
-# Dataset choice (measured rationale): on first-order planted data the
-# Markov baseline IS near-Bayes, so "beat the MM floor" is structurally
-# out of reach at 50k items — measured GRU val 0.47 / test ~MM on the
-# uniform regime (MM 0.44), and a zipf regime caps the achievable edge
-# at ~+0.02. The GRID regime's compositional second-order signal caps MM
-# near strength*10/cols while a sequence model can learn the (row, col)
-# factorization. ASYMMETRIC 784x64 grid: a symmetric 223x223 run was
-# memorization-dominated (train cost 3.7, held-out sps stuck at the
-# 0.04 first-order cap); 64 columns make the i_{t-2} column
-# classification densely supervised (~47k examples per class) while the
-# first-order cap stays low (0.6*10/64 ~ 0.09).
+# Dataset choice (measured rationale, full history in BASELINE.md): on
+# first-order planted data the Markov baseline IS near-Bayes at 50k
+# items (GRU test ~MM 0.44 uniform; zipf caps the edge at ~+0.02); the
+# compositional GRID regime is memorization-dominated at this scale
+# (GRU peaks at the first-order cap: 223x223 val 0.04, 784x64 val 0.07
+# / test 0.03 vs MM 0.01; LSTM never lifts off). The LAG-2 successor
+# regime keeps the second-order structure (MM is blind: P(next|last) ~
+# uniform) while the learning task is the SAME permutation lookup the
+# models provably ace on the lag-1 regime, delayed one step through the
+# recurrent state — a decisive and learnable floor test at MXU shapes.
 python - <<EOF
 from seqrec_tpu.data.synthetic import make_dataset
 import os
 if not os.path.isfile("$OUT/data/stats"):
-    make_dataset("$OUT", n_users=50_000, n_items=50_176, min_len=20,
+    make_dataset("$OUT", n_users=50_000, n_items=50_000, min_len=20,
                  max_len=100, markov_strength=0.6, seed=4, val_size=100,
-                 test_size=100, generator="grid", grid_cols=64)
+                 test_size=100, generator="lag2")
 EOF
 
 # GRU H=128 (pallas_rnn_train engaged at B=1024/H=128), CCE.

@@ -190,6 +190,53 @@ def generate_interactions_grid(
     return np.stack([users, flat_items, ratings, times], axis=1)
 
 
+def generate_interactions_lag2(
+    n_users: int = 500,
+    n_items: int = 2000,
+    min_len: int = 10,
+    max_len: int = 40,
+    markov_strength: float = 0.6,
+    seed: int = 0,
+) -> np.ndarray:
+    """LAG-2 successor regime: second-order signal with first-order
+    learnability.
+
+    With probability ``markov_strength`` the next item is
+    ``succ[i_{t-2}]`` (a planted permutation of the SECOND-TO-LAST
+    item); otherwise a uniform jump. The sequence interleaves two
+    independent successor chains (even/odd positions), so:
+
+    - a first-order model is blind: conditioned on i_{t-1} alone, the
+      next item is ~uniform (i_{t-2} decorrelates from i_{t-1}), putting
+      MM at the POP floor;
+    - a recurrent model faces exactly the first-order task it provably
+      learns (BASELINE.md: RNN-CCE 0.54 on the planted lag-1 regime) —
+      the same permutation lookup, delayed one step through the hidden
+      state.
+
+    This is the learnable counterpoint to the compositional grid regime
+    (:func:`generate_interactions_grid`), where 50k-item runs were
+    measured memorization-dominated (GRU peaks at the first-order cap
+    0.07 and never recovers the (row, col) rule)."""
+    rng = np.random.default_rng(seed)
+    succ = rng.permutation(n_items)
+    lengths = rng.integers(min_len, max_len + 1, size=n_users)
+    L = int(lengths.max())
+    items = np.zeros((n_users, L), dtype=np.int64)
+    items[:, 0] = rng.integers(0, n_items, size=n_users)
+    items[:, 1] = rng.integers(0, n_items, size=n_users)
+    for t in range(2, L):
+        follow = rng.random(n_users) < markov_strength
+        jump = rng.integers(0, n_items, size=n_users)
+        items[:, t] = np.where(follow, succ[items[:, t - 2]], jump)
+    valid = np.arange(L)[None, :] < lengths[:, None]
+    users = np.repeat(np.arange(n_users), lengths)
+    flat_items = items[valid]
+    ratings = rng.integers(1, 6, size=flat_items.size)
+    times = np.arange(flat_items.size)
+    return np.stack([users, flat_items, ratings, times], axis=1)
+
+
 def make_dataset(
     dirname: str,
     n_users: int = 500,
@@ -216,6 +263,9 @@ def make_dataset(
     if generator == "grid":
         gen = generate_interactions_grid
         kwargs = {"grid_cols": grid_cols} if grid_cols else {}
+    elif generator == "lag2":
+        gen = generate_interactions_lag2
+        kwargs = {}
     else:
         gen = generate_interactions_vec if vectorized else generate_interactions
         kwargs = {"zipf": zipf} if vectorized else {}

@@ -192,3 +192,47 @@ def test_grid_generator_plants_second_order_signal():
     # the oracle hits ~strength; first-order tops out near
     # strength * 10/side + noise — assert a wide margin
     assert mm / n < strength * 0.75, mm / n
+
+
+def test_lag2_generator_blinds_first_order():
+    """Lag-2 regime: succ[i_{t-2}] fires at ~strength; a first-order
+    successor table generalizes to held-out users at ~chance while the
+    lag-2 oracle hits ~strength."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    from seqrec_tpu.data.synthetic import generate_interactions_lag2
+
+    strength, n_items = 0.6, 400
+    rows = generate_interactions_lag2(
+        n_users=400, n_items=n_items, min_len=20, max_len=60,
+        markov_strength=strength, seed=5,
+    )
+    seqs = defaultdict(list)
+    for u, i, _, _ in rows:
+        seqs[u].append(i)
+
+    # recover the planted permutation from the data itself
+    votes = defaultdict(lambda: defaultdict(int))
+    for s in seqs.values():
+        for a, c in zip(s, s[2:]):
+            votes[a][c] += 1
+    succ = {a: max(v, key=v.get) for a, v in votes.items()}
+
+    users = sorted(seqs)
+    trans = defaultdict(lambda: defaultdict(int))
+    for u in users[:350]:
+        s = seqs[u]
+        for b, c in zip(s, s[1:]):
+            trans[b][c] += 1
+    mm = oracle = n = 0
+    for u in users[350:]:
+        s = seqs[u]
+        for a, b, c in zip(s, s[1:], s[2:]):
+            top = sorted(trans[b], key=lambda x: -trans[b][x])[:10]
+            mm += int(c in top)
+            oracle += int(c == succ.get(a, -1))
+            n += 1
+    assert oracle / n > strength * 0.9, oracle / n
+    assert mm / n < 0.3 * strength, mm / n  # first-order is blind
