@@ -1,10 +1,9 @@
 #!/bin/bash
 # Round-4 convergence-at-MXU-shape campaign (VERDICT r3 item 2): prove the
 # fused Pallas train kernels' custom-VJP backwards train real models at the
-# shapes they gate on for. Dataset: the 50k-item bench dataset
-# (20k users, 1.2M interactions, planted Markov 0.5 — bench.py
-# _ensure_matrix_dataset). Protocol: reference eval contract
-# (/root/reference/test.py:55-59), early stop, then floors.
+# shapes they gate on for. Dataset: lag2-50k (50k users, 50k items, ~3M
+# interactions, planted lag-2 successor signal). Protocol: reference eval
+# contract (/root/reference/test.py:55-59), early stop, then floors.
 # Usage: bash scripts/convergence_run.sh [datadir]
 set -x
 OUT=${1:-/tmp/seqrec_conv_lag2_50k}
@@ -31,10 +30,9 @@ EOF
 
 # GRU H=128 (pallas_rnn_train engaged at B=1024/H=128), CCE.
 # --progress counts OPTIMIZER STEPS: 1000 steps x B=1024 ~ 0.35 epochs
-# of the ~3M-interaction training set per validation. B=1024 / lr 0.002:
-# the 50k-cell composition starts slow (measured: cost 10.8 -> 9.2 over
-# 1.4 epochs at B=256/lr 0.001 with val sps still 0), so the campaign
-# runs bigger steps with real patience (es_n 8 ~ 3 epochs).
+# of the ~3M-interaction training set per validation; es_n 8 ~ 3 epochs
+# of patience (50k-item permutation tables need a few epochs of updates
+# per item row before the val metric lifts).
 # Both legs also train through the streaming-CCE head (the 50k catalog
 # is >= STREAMING_CCE_MIN_ITEMS) — this campaign is the e2e convergence
 # proof for the fused train kernels AND the flash-style loss together.
