@@ -1,12 +1,15 @@
 #!/bin/bash
-# Second synthetic quality regime (BASELINE.md): the GRID dataset plants a
-# compositional SECOND-order signal (next = (row of last, col of
-# second-to-last)) that a first-order Markov model cannot capture —
-# the complement of baseline_run.sh's first-order regime where MM wins by
-# construction. Records the model ordering for the quality table.
-# Usage: bash scripts/quality_run_grid.sh [outdir]
+# Second synthetic quality regime (BASELINE.md): the LAG-2 dataset plants
+# next = succ[i_{t-2}] — a second-order signal a first-order Markov model
+# cannot capture (held-out MM ~ chance) but that a recurrent model learns
+# as readily as the lag-1 regime (same permutation lookup, delayed one
+# step) — the complement of baseline_run.sh's first-order regime where MM
+# wins by construction. (The compositional GRID generator stays in-tree;
+# it was measured memorization-dominated for these models at every scale
+# tried — see BASELINE.md.) Records the model ordering for the quality
+# table. Usage: bash scripts/quality_run_regime2.sh [outdir]
 set -x
-OUT=${1:-/tmp/grid_synth}
+OUT=${1:-/tmp/lag2_synth}
 cd "$(dirname "$0")/.."
 
 python - <<EOF
@@ -14,7 +17,7 @@ from seqrec_tpu.data.synthetic import make_dataset
 import os
 if not os.path.exists("$OUT/data/stats"):
     make_dataset("$OUT", n_users=6040, n_items=3600, min_len=20, max_len=310,
-                 markov_strength=0.6, seed=9, generator="grid",
+                 markov_strength=0.6, seed=9, generator="lag2",
                  val_size=100, test_size=100)
 EOF
 
