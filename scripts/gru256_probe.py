@@ -71,6 +71,54 @@ def main():
             "pallas_bb64",
         )
     )
+
+    # LSTM H=256 at bb=64 also fits VMEM (13.6e6 B modeled); measure it
+    # against the XLA LSTM scan with the same protocol
+    from seqrec_tpu.ops.pallas_lstm_train import lstm_scan_train
+
+    G4 = 4 * H
+    xl = jnp.asarray(rng.normal(size=(B, L, G4)).astype(np.float32) * 0.1)
+    wl = jnp.asarray(rng.normal(size=(H, G4)).astype(np.float32) * 0.1)
+    peep = jnp.asarray(rng.normal(size=(3, H)).astype(np.float32) * 0.1)
+    c0 = jnp.zeros((B, H), jnp.float32)
+
+    def lstm_xla(x, mask, w, h0):
+        def step(carry, xm):
+            h, c = carry
+            x_t, m = xm
+            pre = x_t + jnp.dot(h, w, preferred_element_type=jnp.float32)
+            i = jax.nn.sigmoid(pre[:, :H] + peep[0] * c)
+            f = jax.nn.sigmoid(pre[:, H:2 * H] + peep[1] * c)
+            c_new = f * c + i * jnp.tanh(pre[:, 2 * H:3 * H])
+            o = jax.nn.sigmoid(pre[:, 3 * H:] + peep[2] * c_new)
+            h_new = o * jnp.tanh(c_new)
+            mm = m[:, None] > 0
+            return (jnp.where(mm, h_new, h), jnp.where(mm, c_new, c)), None
+
+        (h, _), _ = jax.lax.scan(
+            step, (h0, c0),
+            (jnp.swapaxes(x, 0, 1), jnp.swapaxes(mask, 0, 1)),
+        )
+        return h
+
+    def bench_l(fn, label, reps=30):
+        loss = lambda x: fn(x, mask, wl, h0).sum()  # noqa: E731
+        gfn = jax.jit(jax.grad(loss))
+        out = gfn(xl)
+        _ = float(out.reshape(-1)[0])
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = gfn(out * 0.999 + xl * 0.001)
+        _ = float(out.reshape(-1)[0])
+        return {"label": label, "us_per_grad": round((time.perf_counter() - t0) / reps * 1e6, 1)}
+
+    rows.append(bench_l(lstm_xla, "lstm_xla_scan"))
+    rows.append(
+        bench_l(
+            lambda x, m, w, h0: lstm_scan_train(x, m, w, peep, h0, c0, 0.0, 64),
+            "lstm_pallas_bb64",
+        )
+    )
     print(json.dumps({"B": B, "H": H, "L": L, "rows": rows}))
     sys.stdout.flush()
     os._exit(0)
