@@ -16,4 +16,12 @@ time python scripts/adaptive_bench.py
 time python scripts/gru256_probe.py
 time python bench.py > bench_final.json
 tail -c 400 bench_final.json
+
+# round-4 parity-config quality regression (4th consecutive round):
+# same cached ML-1M-scale dataset + config as BASELINE.md's headline row
+time python train.py -d /tmp/ml1m_synth/ -m RNN --loss CCE --r_t GRU --r_l 50 \
+    --max_length 30 -b 16 --u_m adam --u_l 0.001 --save Best --dir r4/ \
+    --progress 4000 --max_iter 60000 --es_m StopAfterN --es_n 3
+python test.py -d /tmp/ml1m_synth/ -m RNN --loss CCE --r_t GRU --r_l 50 \
+    --max_length 30 -b 16 --u_l 0.001 --save --dir r4/
 echo POST_CAMPAIGN_DONE
