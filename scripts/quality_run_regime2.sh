@@ -42,6 +42,13 @@ time python train.py -d "$OUT/" -m RNN --loss hinge --r_t GRU --r_l 50 \
 python test.py -d "$OUT/" -m RNN --loss hinge --r_t GRU --r_l 50 \
     --max_length 30 -b 64 --u_l 0.002 --save
 
+# clustered softmax (cluster-restricted scoring on a second-order task)
+time python train.py -d "$OUT/" -m RNN --clusters 10 --loss Blackout --r_t GRU --r_l 50 \
+    --max_length 30 -b 64 --u_m adam --u_l 0.002 --save Best \
+    --progress 1500 --max_iter 60000 --es_m StopAfterN --es_n 6
+python test.py -d "$OUT/" -m RNN --clusters 10 --loss Blackout --r_t GRU --r_l 50 \
+    --max_length 30 -b 64 --u_l 0.002 --save
+
 # floors + FPMC (first-order MC term: should trail the RNNs here)
 for m in POP MM UKNN; do
   echo "==== $m ===="
