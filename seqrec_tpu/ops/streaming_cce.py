@@ -93,10 +93,16 @@ def streaming_cce(h, W, b, targets, chunk: int = CHUNK_COLS, compute_dtype=jnp.f
     return loss
 
 
-def _chunk_logits(h_c, W_r, b_r, i):
-    """[B, chunk] logits of chunk i (cast matmul, f32 accumulate)."""
+def _chunk_logits(h_c, Wp, bp, i, chunk, compute_dtype):
+    """[B, chunk] logits of chunk i via dynamic_slice — the chunks are
+    read straight out of the (padded) weight matrix, so no transposed
+    [n_chunks, H, chunk] scan-xs copy of W (2x [H, N] HBM round trips
+    per step, fwd + bwd) is ever built."""
+    W_c = jax.lax.dynamic_slice_in_dim(Wp, i * chunk, chunk, axis=1)
+    b_c = jax.lax.dynamic_slice_in_dim(bp, i * chunk, chunk, axis=0)
     return (
-        jnp.dot(h_c, W_r[i], preferred_element_type=jnp.float32) + b_r[i]
+        jnp.dot(h_c, W_c.astype(compute_dtype), preferred_element_type=jnp.float32)
+        + b_c
     )
 
 
@@ -104,12 +110,7 @@ def _fwd(h, W, b, targets, chunk, compute_dtype):
     B = h.shape[0]
     N = W.shape[1]
     Wp, bp, n_chunks = _pad_cols(W, b, chunk)
-    # scan xs: [n_chunks, H, chunk] / [n_chunks, chunk] views (reshape of
-    # the padded arrays; XLA reads each slice once, no copy per step)
-    W_r = jnp.transpose(Wp.reshape(W.shape[0], n_chunks, chunk), (1, 0, 2))
-    b_r = bp.reshape(n_chunks, chunk)
     h_c = h.astype(compute_dtype)
-    W_r = W_r.astype(compute_dtype)
     t_col = targets[:, None]
 
     init = (
@@ -120,7 +121,7 @@ def _fwd(h, W, b, targets, chunk, compute_dtype):
 
     def scan_body(carry, i):
         m, s, tl = carry
-        logits = _chunk_logits(h_c, W_r, b_r, i)
+        logits = _chunk_logits(h_c, Wp, bp, i, chunk, compute_dtype)
         cm = logits.max(axis=-1)
         m_new = jnp.maximum(m, cm)
         # flash-softmax rescale; m starts at -1e30 with s=0, so the
@@ -144,16 +145,15 @@ def _bwd(chunk, compute_dtype, res, g):
     h, W, b, targets, m, s = res
     H, N = W.shape
     Wp, bp, n_chunks = _pad_cols(W, b, chunk)
-    W_r = jnp.transpose(Wp.reshape(H, n_chunks, chunk), (1, 0, 2))
-    b_r = bp.reshape(n_chunks, chunk)
+    Np = n_chunks * chunk
     h_c = h.astype(compute_dtype)
-    W_rc = W_r.astype(compute_dtype)
     logz = (m + jnp.log(s))[:, None]  # [B, 1]
     gcol = g[:, None]  # upstream per-example cotangent
     t_col = targets[:, None]
 
-    def body(dh, i):
-        logits = _chunk_logits(h_c, W_rc, b_r, i)
+    def body(carry, i):
+        dh, dW, db = carry
+        logits = _chunk_logits(h_c, Wp, bp, i, chunk, compute_dtype)
         p = jnp.exp(logits - logz)  # softmax slice, in registers
         local = t_col - i * chunk
         hit = (local >= 0) & (local < chunk)
@@ -165,19 +165,33 @@ def _bwd(chunk, compute_dtype, res, g):
             h_c.T, dlogits, preferred_element_type=jnp.float32
         )  # [H, chunk]
         db_c = dlogits.sum(axis=0, dtype=jnp.float32)
+        W_c = jax.lax.dynamic_slice_in_dim(Wp, i * chunk, chunk, axis=1)
         dh = dh + jnp.dot(
-            dlogits, W_rc[i].T, preferred_element_type=jnp.float32
+            dlogits, W_c.astype(compute_dtype).T,
+            preferred_element_type=jnp.float32,
         )
-        return dh, (dW_c, db_c)
+        # in-place accumulation into the carried gradient buffers (XLA
+        # donates scan carries, so these are true in-place column writes
+        # — no [n_chunks, H, chunk] ys stack + transpose at the end)
+        dW = jax.lax.dynamic_update_slice_in_dim(dW, dW_c, i * chunk, axis=1)
+        db = jax.lax.dynamic_update_slice_in_dim(db, db_c, i * chunk, axis=0)
+        return (dh, dW, db), None
 
-    dh, (dW_r, db_r) = jax.lax.scan(
+    (dh, dW, db), _ = jax.lax.scan(
         body,
-        jnp.zeros(h.shape, jnp.float32),
+        (
+            jnp.zeros(h.shape, jnp.float32),
+            jnp.zeros((H, Np), jnp.float32),
+            jnp.zeros((Np,), jnp.float32),
+        ),
         jnp.arange(n_chunks, dtype=jnp.int32),
     )
-    dW = jnp.transpose(dW_r, (1, 0, 2)).reshape(H, n_chunks * chunk)[:, :N]
-    db = db_r.reshape(n_chunks * chunk)[:N]
-    return dh.astype(h.dtype), dW.astype(W.dtype), db.astype(b.dtype), None
+    return (
+        dh.astype(h.dtype),
+        dW[:, :N].astype(W.dtype),
+        db[:N].astype(b.dtype),
+        None,
+    )
 
 
 streaming_cce.defvjp(
