@@ -35,7 +35,26 @@ def find_models(predictor, dataset, args):
         return None
     file = dataset.dirname + "models/" + get_file_name(predictor, args)
     if args.number_of_batches == "*":
-        file = np.array(glob.glob(file))
+        matches = glob.glob(file)
+        # the ``ne*`` wildcard must capture ONLY the epoch number. The
+        # reference's filename scheme omits defaulted config tokens
+        # (e.g. the LSTM tower marker, recurrent_layers.py name), so a
+        # default-config glob like ``..._ne*_gc100_...`` also swallows
+        # ``..._ne1.09_GRU_gc100_...`` — loading a DIFFERENT family's
+        # checkpoint (observed: GRU params into an LSTM apply ->
+        # KeyError 'c0'). Keep a match only if the captured field
+        # parses as a plain epoch float.
+        base = get_file_name(predictor, args).replace("\\", "/").split("/")[-1]
+        pattern = re.compile(
+            re.escape(base).replace(
+                re.escape("ne*"), r"ne([0-9]+(\.[0-9]+)?)"
+            )
+            + r"$"
+        )
+        matches = [
+            f for f in matches if pattern.search(f.replace("\\", "/").split("/")[-1])
+        ]
+        file = np.array(matches)
     return file
 
 

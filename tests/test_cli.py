@@ -185,3 +185,40 @@ def test_profile_flag_writes_trace(synthetic_dataset, tmp_path):
     import os
 
     assert os.path.isdir(trace_dir) and len(os.listdir(trace_dir)) > 0
+
+
+def test_find_models_glob_rejects_other_family(tmp_path):
+    """The epoch glob's ``ne*`` must capture ONLY the epoch number: the
+    reference filename scheme omits defaulted tokens (LSTM tower), so a
+    default-config pattern would otherwise swallow another family's
+    checkpoints (observed: GRU params loaded into an LSTM -> KeyError)."""
+    import types
+
+    import numpy as np
+
+    import test as test_cli
+
+    models = tmp_path / "models"
+    models.mkdir()
+    lstm = "rnn_cce_db0.0_r0.0_ml30_bs8_ne2.5_gc100_h8_Ua_lr0.01_b10.9_b20.999_nt1_nf"
+    gru = "rnn_cce_db0.0_r0.0_ml30_bs8_ne1.5_GRU_gc100_h8_Ua_lr0.01_b10.9_b20.999_nt1_nf"
+    for f in (lstm, gru):
+        (models / f).write_bytes(b"x")
+
+    class P:
+        def _get_model_filename(self, epochs):
+            return f"rnn_cce_db0.0_r0.0_ml30_bs8_ne{epochs}_gc100_h8_Ua_lr0.01_b10.9_b20.999_nt1_nf"
+
+    class G:
+        def _get_model_filename(self, epochs):
+            return f"rnn_cce_db0.0_r0.0_ml30_bs8_ne{epochs}_GRU_gc100_h8_Ua_lr0.01_b10.9_b20.999_nt1_nf"
+
+    ds = types.SimpleNamespace(dirname=str(tmp_path) + "/")
+    args = types.SimpleNamespace(
+        method="RNN", number_of_batches="*", training_max_length=30,
+        max_length=30, dir="",
+    )
+    got = test_cli.find_models(P(), ds, args)
+    assert [f.split("/")[-1] for f in np.asarray(got).tolist()] == [str(models / lstm).split("/")[-1]]
+    got = test_cli.find_models(G(), ds, args)
+    assert [f.split("/")[-1] for f in np.asarray(got).tolist()] == [str(models / gru).split("/")[-1]]
