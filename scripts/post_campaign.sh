@@ -10,6 +10,12 @@
 set -x
 cd "$(dirname "$0")/.."
 rm -f bench_matrix.json
+# the LSTM convergence leg's test.py crashed on the glob bug fixed in
+# round 4 (GRU checkpoints swallowed by the tower-less LSTM pattern);
+# re-evaluate its Best checkpoint first
+python test.py -d /tmp/seqrec_conv_lag2_50k/ -m RNN --loss CCE --r_t LSTM \
+    --r_l 128 --max_length 30 -b 1024 --u_l 0.002 --save
+
 time python bench.py --matrix-only 2>matrix_stderr.log
 time python scripts/serving_bench.py
 time python scripts/adaptive_bench.py

@@ -1538,6 +1538,12 @@ class RNNBase:
                                 to_delete = [
                                     r for r in filename if r not in pareto_runs
                                 ]
+                                if to_delete:
+                                    # a dethroned checkpoint may still be
+                                    # QUEUED in the async writer; deleting
+                                    # before the write lands would leave a
+                                    # stale file behind
+                                    self._drain_saves()
                                 for run in to_delete:
                                     try:
                                         os.remove(filename[run])
@@ -1567,6 +1573,10 @@ class RNNBase:
                             )
         except KeyboardInterrupt:
             print("Training interrupted")
+        finally:
+            # all queued async checkpoint writes must hit disk before the
+            # loop returns (callers read the files immediately)
+            self._drain_saves()
 
         if not metrics[validation_metrics[0]]:
             # no checkpoint was reached before the iteration/time budget ran
@@ -1672,14 +1682,86 @@ class RNNBase:
         return host_global(leaf)
 
     def save(self, filename: str) -> None:
+        """Write a checkpoint.
+
+        Single-process saves are ASYNCHRONOUS: the params are snapshotted
+        with a cheap on-device copy (the live buffers are donated to the
+        next train dispatch, so the host pull must read an owned copy)
+        and the D2H transfer + npz write run on a worker thread — at
+        10^5-catalog shapes a checkpoint is 100+ MB and the pull through
+        a remote-device link can cost tens of seconds that would
+        otherwise stall the training loop. ``train`` drains the queue
+        before returning, so the on-disk contract (all files present,
+        written in order) is unchanged. Multi-process saves stay
+        synchronous: the cross-host shard gather (``_gather_leaf``) is a
+        collective that must run in program order on every host."""
         print("Save model in " + filename)
+        if jax.process_count() > 1:
+            pytree_save(filename, self._gather_tree())
+            return
+        snap = jax.tree_util.tree_map(
+            lambda x: x + 0 if isinstance(x, jax.Array) else np.asarray(x),
+            self.params,
+        )
+        opt_leaves = None
+        if self.save_optimizer_state and self.opt_state is not None:
+            opt_leaves = [
+                leaf + 0 if isinstance(leaf, jax.Array) else np.asarray(leaf)
+                for leaf in jax.tree_util.tree_leaves(self.opt_state)
+            ]
+        self._save_executor_submit(filename, snap, opt_leaves)
+
+    def _gather_tree(self) -> dict:
         tree = {"params": jax.tree_util.tree_map(self._gather_leaf, self.params)}
         if self.save_optimizer_state and self.opt_state is not None:
             leaves = jax.tree_util.tree_leaves(self.opt_state)
             tree["opt"] = {
                 str(i): self._gather_leaf(leaf) for i, leaf in enumerate(leaves)
             }
-        pytree_save(filename, tree)
+        return tree
+
+    def _save_executor_submit(self, filename, snap, opt_leaves) -> None:
+        import queue
+        import threading
+
+        if not hasattr(self, "_save_queue"):
+            self._save_queue: "queue.Queue" = queue.Queue()
+
+            def worker():
+                while True:
+                    item = self._save_queue.get()
+                    if item is None:
+                        self._save_queue.task_done()
+                        return
+                    fname, params, opts = item
+                    try:
+                        tree = {
+                            "params": jax.tree_util.tree_map(np.asarray, params)
+                        }
+                        if opts is not None:
+                            tree["opt"] = {
+                                str(i): np.asarray(leaf)
+                                for i, leaf in enumerate(opts)
+                            }
+                        pytree_save(fname, tree)
+                    except Exception as exc:  # surfaced by _drain_saves
+                        self._save_error = exc
+                    finally:
+                        self._save_queue.task_done()
+
+            self._save_thread = threading.Thread(target=worker, daemon=True)
+            self._save_thread.start()
+        self._save_queue.put((filename, snap, opt_leaves))
+
+    def _drain_saves(self) -> None:
+        """Block until every queued checkpoint hit disk; re-raise the
+        first writer error (a save failure must not be silent)."""
+        if hasattr(self, "_save_queue"):
+            self._save_queue.join()
+            err = getattr(self, "_save_error", None)
+            if err is not None:
+                self._save_error = None
+                raise err
 
     def load(self, filename: str) -> None:
         tree = pytree_load(filename)
