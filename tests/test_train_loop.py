@@ -131,3 +131,38 @@ def test_init_distributed_noop_without_env(monkeypatch):
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
     monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
     assert init_distributed() is False
+
+
+def test_async_save_writes_and_drains(tmp_path):
+    """Single-process saves are asynchronous (worker thread); drain must
+    block until every queued file is on disk, loads must round-trip, and
+    a writer error must re-raise at the drain (not vanish)."""
+    model = RNNOneHot(
+        recurrent_layer=RecurrentLayers(layer_type="GRU", layers=[4]),
+        updater=Adam(0.01),
+        max_length=4,
+        batch_size=2,
+        seed=0,
+    )
+    model._prepare_networks(10)
+    model.params = model._init_params()
+    model._build_functions()
+
+    files = [str(tmp_path / f"ck{i}.npz") for i in range(3)]
+    for f in files:
+        model.save(f)
+    model._drain_saves()
+    from seqrec_tpu.models.base import pytree_load
+
+    for f in files:
+        tree = pytree_load(f)
+        np.testing.assert_array_equal(
+            tree["params"]["W_out"], np.asarray(model.params["W_out"])
+        )
+
+    model.save(str(tmp_path))  # a directory: the npz open() must fail
+    with pytest.raises(Exception):
+        model._drain_saves()
+    # the queue stays usable after an error
+    model.save(files[0])
+    model._drain_saves()
