@@ -1534,15 +1534,21 @@ class RNNBase:
                                 filename[run_nb] = save_dir + self._get_model_filename(
                                     round(epochs[-1], 3)
                                 )
-                                self.save(filename[run_nb])
                                 to_delete = [
-                                    r for r in filename if r not in pareto_runs
+                                    r for r in filename
+                                    if r not in pareto_runs and r != run_nb
                                 ]
                                 if to_delete:
                                     # a dethroned checkpoint may still be
                                     # QUEUED in the async writer; deleting
-                                    # before the write lands would leave a
-                                    # stale file behind
+                                    # before its write lands would leave a
+                                    # stale file behind. Drain BEFORE
+                                    # submitting the new save — by now the
+                                    # old write has had a full validation
+                                    # interval to land, so this almost
+                                    # never blocks (draining after would
+                                    # wait on the new write too, making
+                                    # Best-saves synchronous again)
                                     self._drain_saves()
                                 for run in to_delete:
                                     try:
@@ -1552,6 +1558,7 @@ class RNNBase:
                                             "Warning : Previous model could not be deleted"
                                         )
                                     del filename[run]
+                                self.save(filename[run_nb])
 
                         if early_stopping is not None:
                             if all(
@@ -1575,8 +1582,19 @@ class RNNBase:
             print("Training interrupted")
         finally:
             # all queued async checkpoint writes must hit disk before the
-            # loop returns (callers read the files immediately)
-            self._drain_saves()
+            # loop returns (callers read the files immediately). If an
+            # exception is already propagating (e.g. the NaN abort), a
+            # late writer error must not REPLACE it as the run's failure.
+            aborting = sys.exc_info()[0] is not None
+            try:
+                self._drain_saves()
+            except Exception as save_exc:
+                if not aborting:
+                    raise
+                print(
+                    f"Warning: async checkpoint write failed during abort: {save_exc}",
+                    file=sys.stderr,
+                )
 
         if not metrics[validation_metrics[0]]:
             # no checkpoint was reached before the iteration/time budget ran
@@ -1725,13 +1743,22 @@ class RNNBase:
         import threading
 
         if not hasattr(self, "_save_queue"):
-            self._save_queue: "queue.Queue" = queue.Queue()
+            # maxsize bounds the HBM exposure: each queued item pins one
+            # on-device parameter snapshot, so an unbounded queue under
+            # --save All with slow writes would accumulate copies until
+            # the next dispatch OOMs; at maxsize=2 the producer blocks
+            # (i.e. degrades to the old synchronous behavior) instead
+            q: "queue.Queue" = queue.Queue(maxsize=2)
+            errbox: list = []
 
+            # NB: the worker closes over (q, errbox) ONLY — a self
+            # reference would pin the model and its params for the
+            # thread's lifetime
             def worker():
                 while True:
-                    item = self._save_queue.get()
+                    item = q.get()
                     if item is None:
-                        self._save_queue.task_done()
+                        q.task_done()
                         return
                     fname, params, opts = item
                     try:
@@ -1745,23 +1772,31 @@ class RNNBase:
                             }
                         pytree_save(fname, tree)
                     except Exception as exc:  # surfaced by _drain_saves
-                        self._save_error = exc
+                        errbox.append(exc)
                     finally:
-                        self._save_queue.task_done()
+                        q.task_done()
 
-            self._save_thread = threading.Thread(target=worker, daemon=True)
-            self._save_thread.start()
+            t = threading.Thread(target=worker, daemon=True)
+            t.start()
+            self._save_queue = q
+            self._save_errbox = errbox
+            self._save_thread = t
         self._save_queue.put((filename, snap, opt_leaves))
 
     def _drain_saves(self) -> None:
-        """Block until every queued checkpoint hit disk; re-raise the
-        first writer error (a save failure must not be silent)."""
+        """Block until every queued checkpoint hit disk, SHUT DOWN the
+        worker thread (a sleeping thread per model instance would leak
+        across in-process sweeps/tests), and re-raise the first writer
+        error (a save failure must not be silent). A later ``save``
+        spawns a fresh worker."""
         if hasattr(self, "_save_queue"):
-            self._save_queue.join()
-            err = getattr(self, "_save_error", None)
-            if err is not None:
-                self._save_error = None
-                raise err
+            q, errbox, t = self._save_queue, self._save_errbox, self._save_thread
+            del self._save_queue, self._save_errbox, self._save_thread
+            q.join()
+            q.put(None)
+            t.join()
+            if errbox:
+                raise errbox[0]
 
     def load(self, filename: str) -> None:
         tree = pytree_load(filename)
@@ -1786,7 +1821,20 @@ class RNNBase:
             return float(m.group(1))
 
         pattern = save_dir + self._get_model_filename("*")
-        files = np.array(glob.glob(pattern))
+        files = glob.glob(pattern)
+        # the ``ne*`` wildcard must capture ONLY the epoch number: the
+        # filename scheme omits defaulted config tokens (e.g. the LSTM
+        # tower marker), so the default-config glob also swallows
+        # sibling-family files like ``..._ne1.5_GRU_...`` whose epoch
+        # would then be extracted and resolved to a NONEXISTENT filename
+        # (same defect class as test.py:find_models, fixed round 4)
+        base = self._get_model_filename("*").replace("\\", "/").split("/")[-1]
+        rx = re.compile(
+            re.escape(base).replace(re.escape("*"), r"([0-9]+(\.[0-9]+)?)") + r"$"
+        )
+        files = np.array(
+            [f for f in files if rx.search(f.replace("\\", "/").split("/")[-1])]
+        )
         if len(files) == 0:
             print("No previous model, starting from scratch")
             return 0

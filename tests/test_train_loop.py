@@ -166,3 +166,30 @@ def test_async_save_writes_and_drains(tmp_path):
     # the queue stays usable after an error
     model.save(files[0])
     model._drain_saves()
+
+
+def test_load_last_ignores_other_family_checkpoints(tmp_path, capsys):
+    """load_last's epoch glob must not swallow sibling-family files
+    (default-config names omit tokens like the LSTM tower marker);
+    picking a GRU file's epoch would resolve to a nonexistent
+    LSTM-style filename and crash the resume."""
+    model = RNNOneHot(
+        recurrent_layer=RecurrentLayers(layer_type="LSTM", layers=[4]),
+        updater=Adam(0.01),
+        max_length=4,
+        batch_size=2,
+        seed=0,
+    )
+    model._prepare_networks(10)
+    model.params = model._init_params()
+    model._build_functions()
+
+    save_dir = str(tmp_path) + "/"
+    # a GRU checkpoint the LSTM's glob pattern would otherwise match
+    gru_name = model._get_model_filename(9.9).replace("_ne9.9_", "_ne9.9_GRU_")
+    (tmp_path / gru_name).write_bytes(b"x")
+    assert model.load_last(save_dir) == 0  # no LSTM checkpoint -> scratch
+
+    model.save(save_dir + model._get_model_filename(2.5))
+    model._drain_saves()
+    assert model.load_last(save_dir) == 2.5
