@@ -1525,7 +1525,7 @@ class RNNBase:
                             filename[run_nb] = save_dir + self._get_model_filename(
                                 round(epochs[-1], 3)
                             )
-                            self.save(filename[run_nb])
+                            self.save(filename[run_nb], async_write=True)
                         elif autosave == "Best":
                             pareto_runs = self.get_pareto_front(
                                 metrics, validation_metrics
@@ -1558,7 +1558,7 @@ class RNNBase:
                                             "Warning : Previous model could not be deleted"
                                         )
                                     del filename[run]
-                                self.save(filename[run_nb])
+                                self.save(filename[run_nb], async_write=True)
 
                         if early_stopping is not None:
                             if all(
@@ -1699,22 +1699,25 @@ class RNNBase:
 
         return host_global(leaf)
 
-    def save(self, filename: str) -> None:
-        """Write a checkpoint.
+    def save(self, filename: str, async_write: bool = False) -> None:
+        """Write a checkpoint. Synchronous by default (the file is on
+        disk when this returns — the reference contract direct callers
+        rely on).
 
-        Single-process saves are ASYNCHRONOUS: the params are snapshotted
-        with a cheap on-device copy (the live buffers are donated to the
-        next train dispatch, so the host pull must read an owned copy)
-        and the D2H transfer + npz write run on a worker thread — at
-        10^5-catalog shapes a checkpoint is 100+ MB and the pull through
-        a remote-device link can cost tens of seconds that would
-        otherwise stall the training loop. ``train`` drains the queue
-        before returning, so the on-disk contract (all files present,
-        written in order) is unchanged. Multi-process saves stay
-        synchronous: the cross-host shard gather (``_gather_leaf``) is a
-        collective that must run in program order on every host."""
+        The train loop's autosaves pass ``async_write=True``: the params
+        are snapshotted with a cheap on-device copy (the live buffers
+        are donated to the next train dispatch, so the host pull must
+        read an owned copy) and the D2H transfer + npz write run on a
+        worker thread — at 10^5-catalog shapes a checkpoint is 100+ MB
+        and the pull through a remote-device link can cost tens of
+        seconds that would otherwise stall the training loop. ``train``
+        drains the queue before returning, so the on-disk contract (all
+        files present, written in order) is unchanged. Multi-process
+        saves are always synchronous: the cross-host shard gather
+        (``_gather_leaf``) is a collective that must run in program
+        order on every host."""
         print("Save model in " + filename)
-        if jax.process_count() > 1:
+        if jax.process_count() > 1 or not async_write:
             pytree_save(filename, self._gather_tree())
             return
         snap = jax.tree_util.tree_map(

@@ -150,7 +150,7 @@ def test_async_save_writes_and_drains(tmp_path):
 
     files = [str(tmp_path / f"ck{i}.npz") for i in range(3)]
     for f in files:
-        model.save(f)
+        model.save(f, async_write=True)
     model._drain_saves()
     from seqrec_tpu.models.base import pytree_load
 
@@ -160,11 +160,11 @@ def test_async_save_writes_and_drains(tmp_path):
             tree["params"]["W_out"], np.asarray(model.params["W_out"])
         )
 
-    model.save(str(tmp_path))  # a directory: the npz open() must fail
+    model.save(str(tmp_path), async_write=True)  # a directory: the npz open() must fail
     with pytest.raises(Exception):
         model._drain_saves()
     # the queue stays usable after an error
-    model.save(files[0])
+    model.save(files[0], async_write=True)
     model._drain_saves()
 
 
