@@ -193,8 +193,18 @@ def _scale_by_adam_bf16_moments(b1: float, b2: float, eps: float):
         bc1 = 1.0 - b1**c
         bc2 = 1.0 - b2**c
         # deterministic per-step stream: reproducible given the step
-        # count, independent across steps and leaves
-        base_key = jax.random.fold_in(jax.random.PRNGKey(0x5EED), count)
+        # count, independent across steps and leaves. The rounding noise
+        # covers ~2 x n_params elements per step, so the generator cost
+        # matters: Threefry bits for 10^8-element moment tables were
+        # MEASURED to cost more than the bf16 bandwidth they enable
+        # (16.8% vs 18.3% MFU at H=256/200k/B=1024); the hardware-backed
+        # "rbg" generator is cheap, and its weaker stream quality is
+        # irrelevant for rounding dither.
+        try:
+            root = jax.random.key(0x5EED, impl="rbg")
+        except Exception:  # backends without RngBitGenerator support
+            root = jax.random.PRNGKey(0x5EED)
+        base_key = jax.random.fold_in(root, count)
 
         def step(i, g, m, v):
             k1, k2 = jax.random.split(jax.random.fold_in(base_key, i))
