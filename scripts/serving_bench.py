@@ -72,6 +72,42 @@ def main():
             k, sub = jax.random.split(k)
             yield jax.random.normal(sub, (B, H), jnp.float32)
 
+    def device_us(topk_fn, h_stream, n=8):
+        """Per-dispatch device time from an xplane trace (the e2e wall
+        clock through the remote tunnel is link-dominated: ~10 ms of
+        fixed dispatch overhead per chunk at these sizes)."""
+        import glob as globmod
+        import json as jsonmod
+        import shutil
+
+        try:
+            from xprof.convert import raw_to_tool_data as rtd
+        except Exception:
+            return None
+        tdir = "/tmp/seqrec_serving_trace"
+        shutil.rmtree(tdir, ignore_errors=True)
+        out = topk_fn(next(h_stream), w, b, seen, sm)
+        _ = np.asarray(out[0])
+        jax.profiler.start_trace(tdir)
+        for _ in range(n):
+            out = topk_fn(next(h_stream), w, b, seen, sm)
+        _ = np.asarray(out[0])
+        jax.profiler.stop_trace()
+        try:
+            files = globmod.glob(tdir + "/**/*.xplane.pb", recursive=True)
+            data, _ = rtd.xspace_to_tool_data(files, "trace_viewer", {})
+            events = jsonmod.loads(data).get("traceEvents", [])
+            dev = sum(
+                e.get("dur", 0)
+                for e in events
+                if e.get("ph") == "X" and e.get("name", "").startswith("jit_topk")
+            )
+            return dev / n if dev > 0 else None
+        except Exception:
+            return None
+        finally:
+            shutil.rmtree(tdir, ignore_errors=True)
+
     def run(min_items):
         old = core.GROUPED_TOPK_MIN_ITEMS
         core.GROUPED_TOPK_MIN_ITEMS = min_items
@@ -84,12 +120,13 @@ def main():
 
         try:
             rate, windows = measure(topk, h_stream(), w, b, seen, sm, k)
+            dev = device_us(topk, h_stream())
         finally:
             core.GROUPED_TOPK_MIN_ITEMS = old
-        return rate, windows
+        return rate, windows, dev
 
-    grouped, gw = run(1)
-    plain, pw = run(10**9)
+    grouped, gw, gdev = run(1)
+    plain, pw, pdev = run(10**9)
     print(
         json.dumps(
             {
@@ -98,9 +135,12 @@ def main():
                 "batch": B,
                 "grouped": round(grouped, 1),
                 "grouped_windows": gw,
+                "grouped_device_us_per_chunk": round(gdev, 1) if gdev else None,
                 "lax_topk": round(plain, 1),
                 "lax_windows": pw,
-                "speedup": round(grouped / plain, 2),
+                "lax_device_us_per_chunk": round(pdev, 1) if pdev else None,
+                "speedup_e2e": round(grouped / plain, 2),
+                "speedup_device": round(pdev / gdev, 2) if gdev and pdev else None,
             }
         )
     )
