@@ -109,31 +109,19 @@ def grouped_top_k(scores: jax.Array, k: int):
     if G < k:  # fewer groups than k: the two-level split cannot help
         vals, ids = jax.lax.top_k(scores, k)
         return vals, ids.astype(jnp.int32)
-    # per-group maxima via reduce_window — a pad + [B, G, 128] reshape
-    # both MATERIALIZED full copies of the score matrix (device trace,
-    # 2026-08-21: 1.25 ms each at [512, 200k]); reduce_window streams
-    # the array once and its low-padding contributes -inf
-    gmax = jax.lax.reduce_window(
-        scores,
-        -jnp.inf,
-        jax.lax.max,
-        (1, _GROUP),
-        (1, _GROUP),
-        ((0, 0), (0, G * _GROUP - N)),
-    )  # [B, G]
+    pad = G * _GROUP - N
+    if pad:
+        scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    grouped = scores.reshape(B, G, _GROUP)
+    gmax = grouped.max(axis=-1)  # [B, G] — one streaming reduce
     _, gsel = jax.lax.top_k(gmax, k)  # [B, k] winning groups
-    # gather the winning groups straight from the flat scores
-    col = (
-        gsel[..., None] * _GROUP + jnp.arange(_GROUP, dtype=gsel.dtype)
-    ).reshape(B, k * _GROUP)
-    in_range = col < N
-    cand = jnp.take_along_axis(scores, jnp.minimum(col, N - 1), axis=1)
-    cand = jnp.where(in_range, cand, -jnp.inf)
-    vals, ci = jax.lax.top_k(cand, k)
-    ids = jnp.take_along_axis(col, ci, axis=1)
-    # degenerate rows (fewer than k finite scores) can surface -inf
-    # tail slots whose ids fall outside the catalog; clamp to preserve
-    # lax.top_k's ids-always-in-range contract
+    cand = jnp.take_along_axis(grouped, gsel[..., None], axis=1)  # [B,k,128]
+    vals, ci = jax.lax.top_k(cand.reshape(B, k * _GROUP), k)
+    group_of = jnp.take_along_axis(gsel, ci // _GROUP, axis=1)
+    ids = group_of * _GROUP + ci % _GROUP
+    # degenerate rows (fewer than k finite scores) can surface -inf pad
+    # slots whose synthesized ids fall outside the catalog; clamp to
+    # preserve lax.top_k's ids-always-in-range contract
     ids = jnp.minimum(ids, N - 1)
     return vals, ids.astype(jnp.int32)
 
