@@ -81,11 +81,14 @@ def gather_sum(table: jax.Array, ids: jax.Array, id_mask: jax.Array | None = Non
 # masked top-k over item scores
 # ----------------------------------------------------------------------
 
-# two-level selection engages above this catalog size: XLA's TopK lowers
-# to a full per-row sort on TPU, which at 10^5-item catalogs costs an
-# order of magnitude more than the grouped reduce+gather (measured in
-# BASELINE.md serving rows); below it the single lax.top_k is already
-# cheap and the extra gather pass isn't worth its launch
+# two-level selection engages above this catalog size. Measured at
+# [512, 200k] (v5e device traces, 2026-08-21): grouped 8.09 ms vs
+# lax.top_k 9.11 ms per score+mask+topk dispatch (1.13x device, 1.08x
+# e2e) — a real but modest win; most of the dispatch is the score
+# materialization + mask, not the selection. A reduce_window variant
+# (to avoid the pad/reshape copies) measured 15.9 ms — XLA's strided
+# window lowering loses badly; this pad+reshape form is the measured
+# winner. Below the threshold lax.top_k is already cheap.
 GROUPED_TOPK_MIN_ITEMS = 32768
 _GROUP = 128  # one TPU lane register per group reduction
 
