@@ -49,6 +49,14 @@ MAX_LENGTH = 200
 BATCH_SIZE = 10
 
 
+# npz cannot represent the ml_dtypes extension dtypes: np.savez writes a
+# bfloat16 array's raw descriptor ('|V2') and np.load returns void bytes
+# (verified 2026-08-21 — exact-resume of --u_moments bfloat16 state would
+# silently load garbage). Encode such leaves as a same-width integer view
+# with a key-suffix marker and decode on load.
+_BF16_MARK = "#bf16"
+
+
 def pytree_save(filename: str, params) -> None:
     """Save a (nested-dict) pytree to an npz with path-encoded keys."""
     flat = {}
@@ -58,7 +66,12 @@ def pytree_save(filename: str, params) -> None:
             for k, v in node.items():
                 walk(prefix + (k,), v)
         else:
-            flat["/".join(prefix)] = np.asarray(node)
+            arr = np.asarray(node)
+            key = "/".join(prefix)
+            if arr.dtype.name == "bfloat16":
+                flat[key + _BF16_MARK] = arr.view(np.uint16)
+            else:
+                flat[key] = arr
 
     walk((), params)
     if os.path.dirname(filename) and not os.path.exists(os.path.dirname(filename)):
@@ -69,14 +82,20 @@ def pytree_save(filename: str, params) -> None:
 
 def pytree_load(filename: str) -> dict:
     """Inverse of :func:`pytree_save`."""
+    import ml_dtypes
+
     out: dict = {}
     with np.load(filename) as data:
         for key in data.files:
+            arr = data[key]
+            if key.endswith(_BF16_MARK):
+                key = key[: -len(_BF16_MARK)]
+                arr = arr.view(ml_dtypes.bfloat16)
             node = out
             parts = key.split("/")
             for p in parts[:-1]:
                 node = node.setdefault(p, {})
-            node[parts[-1]] = data[key]
+            node[parts[-1]] = arr
     return out
 
 

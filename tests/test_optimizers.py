@@ -132,3 +132,28 @@ def test_bf16_moment_checkpoint_name_and_cli():
     # f32 default keeps legacy filenames byte-identical
     args = parser.parse_args([])
     assert get_update_manager(args).name == "Ua_lr0.001_b10.9_b20.999"
+
+
+def test_bf16_moment_exact_resume_roundtrip(tmp_path):
+    """npz cannot encode ml_dtypes.bfloat16 natively (it round-trips as
+    raw '|V2' void bytes); the pytree codec must restore bf16 moment
+    state exactly for --u_moments bfloat16 exact-resume checkpoints."""
+    model = _model(Adam(0.01, moment_dtype="bfloat16"))
+    model.save_optimizer_state = True
+    rng = np.random.default_rng(3)
+    for _ in range(3):
+        model.train_function(_batch(rng))
+    f = str(tmp_path / "ck.npz")
+    model.save(f)
+
+    fresh = _model(Adam(0.01, moment_dtype="bfloat16"))
+    fresh.save_optimizer_state = True
+    fresh.load(f)
+    a = jax.tree_util.tree_leaves(model.opt_state)
+    b = jax.tree_util.tree_leaves(fresh.opt_state)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        assert x.dtype == y.dtype, (x.dtype, y.dtype)
+        np.testing.assert_array_equal(
+            np.asarray(x, dtype=np.float32), np.asarray(y, dtype=np.float32)
+        )
