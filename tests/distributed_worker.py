@@ -79,6 +79,19 @@ def main() -> None:
     )
     assert res[0]["sps"] is not None
 
+    # leg 2b: RNNCluster — the family with the MOST host-RNG per-step
+    # extras (sample sets, cluster samples, noise seeds AND the
+    # epoch-boundary temperature schedule); every process must walk the
+    # identical schedule and RNG stream
+    res = train_cli.main(
+        common
+        + [
+            "-m", "RNN", "--clusters", "3", "--loss", "Blackout",
+            "--sampling", "8", "--max_iter", "24",
+        ]
+    )
+    assert res[0]["sps"] is not None
+
     # leg 3: multi-process --load_last_model resume of leg 1 — the
     # checkpoint written by the process_allgather save must reload and
     # reshard under the same pod mesh, and training must CONTINUE (the

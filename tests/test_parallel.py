@@ -301,6 +301,30 @@ def test_rnn_cluster_mesh_matches_single_device(synthetic_handler, devices):
     )
 
 
+def test_rnn_margin_mesh_matches_single_device(synthetic_handler, devices):
+    """RNNMargin under --mesh: the device-side Y/W target scatters and
+    the pop-based soft targets must shard like the other families —
+    completing the mesh-parity coverage of every dryrun family."""
+    from seqrec_tpu.models.rnn_margin import RNNMargin
+
+    mesh = make_mesh(n_data=2, n_model=4, devices=devices)
+
+    def factory():
+        return RNNMargin(
+            loss_function="hinge",
+            recurrent_layer=RecurrentLayers(layer_type="GRU", layers=[16]),
+            updater=Adam(0.01),
+            max_length=12,
+            batch_size=8,
+            seed=0,
+        )
+
+    (res_a, pa), (res_b, pb) = _train_pair(factory, synthetic_handler, mesh)
+    for m in ("sps", "recall"):
+        assert np.isclose(res_a[m], res_b[m], atol=1e-9), (m, res_a, res_b)
+    np.testing.assert_allclose(pa["W_out"], pb["W_out"], rtol=1e-4, atol=1e-5)
+
+
 def test_fism_cluster_mesh_matches_single_device(synthetic_handler, devices):
     """FISMCluster: bag representation + cluster machinery under --mesh
     (item_embeddings/cluster_repartition row-shard, W_out column-shards)."""
