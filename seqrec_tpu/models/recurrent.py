@@ -375,6 +375,18 @@ class RecurrentLayers:
             out = new_carry[0] if self.layer_type == "LSTM" else new_carry
             return new_carry, (None if only_return_final else out)
 
+        if fast == "train":
+            # remat the cell: scan-of-AD stores every per-step
+            # intermediate (gates, pre-activations — ~4 [B, G] tensors
+            # per timestep), which at B=8192/H=256 made the XLA tower
+            # scan the largest single step component (32.6 ms of a 90
+            # ms step, device trace 2026-08-21). Recomputing the gates
+            # from (h_{t-1}, x_t) in the backward costs one extra
+            # [B,H]x[H,G] matmul per step — the same trade the fused
+            # Pallas train kernels make — and cuts the residual stream
+            # to the carry alone.
+            scan_fn = jax.checkpoint(scan_fn)
+
         carry, ys = jax.lax.scan(scan_fn, carry0, xs)
         if only_return_final:
             return carry[0] if self.layer_type == "LSTM" else carry
