@@ -320,6 +320,10 @@ def matrix_configs():
         rows.append(
             {"H": 256, "catalog": 200_000, "dtype": "f32", "opt": opt, "B": 4096}
         )
+    # the combined ceiling: biggest batch + cheapest optimizer state
+    rows.append(
+        {"H": 256, "catalog": 200_000, "dtype": "f32", "opt": "adagrad", "B": 8192}
+    )
     # bf16 matmuls re-measured once the optimizer share shrinks
     rows.append({"H": 256, "catalog": 200_000, "dtype": "bf16", "B": 4096})
     rows.append(
