@@ -384,8 +384,15 @@ class RecurrentLayers:
             # from (h_{t-1}, x_t) in the backward costs one extra
             # [B,H]x[H,G] matmul per step — the same trade the fused
             # Pallas train kernels make — and cuts the residual stream
-            # to the carry alone.
-            scan_fn = jax.checkpoint(scan_fn)
+            # to the carry alone. Gated on the residual volume: at
+            # small shapes the recompute costs more than the cached
+            # residuals save (measured -5% on the GRU-50/B=256 parity
+            # config vs +8..23% at the 10^5-catalog matrix shapes).
+            L_steps = x_pre.shape[1]
+            G_width = x_pre.shape[-1]
+            resid_bytes = 4 * B * L_steps * G_width * 4
+            if resid_bytes > 128e6:
+                scan_fn = jax.checkpoint(scan_fn)
 
         carry, ys = jax.lax.scan(scan_fn, carry0, xs)
         if only_return_final:
