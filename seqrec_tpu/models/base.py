@@ -49,12 +49,14 @@ MAX_LENGTH = 200
 BATCH_SIZE = 10
 
 
-# npz cannot represent the ml_dtypes extension dtypes: np.savez writes a
+# npz cannot represent EXTENSION dtypes (ml_dtypes): np.savez writes a
 # bfloat16 array's raw descriptor ('|V2') and np.load returns void bytes
 # (verified 2026-08-21 — exact-resume of --u_moments bfloat16 state would
-# silently load garbage). Encode such leaves as a same-width integer view
-# with a key-suffix marker and decode on load.
-_BF16_MARK = "#bf16"
+# silently load garbage; the same applies to any future float8 leaf).
+# Encode such leaves as a same-width unsigned-integer view with the
+# dtype name in a key-suffix marker, decode via ml_dtypes on load.
+_DTYPE_MARK = "#dtype="
+_UINT_BY_SIZE = {1: np.uint8, 2: np.uint16, 4: np.uint32}
 
 
 def pytree_save(filename: str, params) -> None:
@@ -68,8 +70,11 @@ def pytree_save(filename: str, params) -> None:
         else:
             arr = np.asarray(node)
             key = "/".join(prefix)
-            if arr.dtype.name == "bfloat16":
-                flat[key + _BF16_MARK] = arr.view(np.uint16)
+            # extension dtypes register with kind 'V' (non-structured)
+            if arr.dtype.kind == "V" and arr.dtype.names is None:
+                flat[key + _DTYPE_MARK + arr.dtype.name] = arr.view(
+                    _UINT_BY_SIZE[arr.dtype.itemsize]
+                )
             else:
                 flat[key] = arr
 
@@ -88,8 +93,13 @@ def pytree_load(filename: str) -> dict:
     with np.load(filename) as data:
         for key in data.files:
             arr = data[key]
-            if key.endswith(_BF16_MARK):
-                key = key[: -len(_BF16_MARK)]
+            if _DTYPE_MARK in key:
+                key, _, name = key.partition(_DTYPE_MARK)
+                if name == "bf16":  # legacy round-4 marker ("#bf16")
+                    name = "bfloat16"
+                arr = arr.view(np.dtype(getattr(ml_dtypes, name)))
+            elif key.endswith("#bf16"):  # legacy round-4 marker
+                key = key[: -len("#bf16")]
                 arr = arr.view(ml_dtypes.bfloat16)
             node = out
             parts = key.split("/")

@@ -392,7 +392,10 @@ class RecurrentLayers:
             G_width = x_pre.shape[-1]
             resid_bytes = 4 * B * L_steps * G_width * 4
             if resid_bytes > 128e6:
-                scan_fn = jax.checkpoint(scan_fn)
+                # prevent_cse=False: under lax.scan the CSE barrier is
+                # unnecessary (documented) and would block fusing the
+                # recomputed gate chain with its matmul
+                scan_fn = jax.checkpoint(scan_fn, prevent_cse=False)
 
         carry, ys = jax.lax.scan(scan_fn, carry0, xs)
         if only_return_final:

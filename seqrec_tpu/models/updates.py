@@ -144,6 +144,25 @@ class Adam(UpdateManager):
         )
 
 
+_RBG_OK: bool | None = None
+
+
+def _rbg_supported() -> bool:
+    """Whether the backend actually lowers RngBitGenerator. Probed by
+    GENERATING bits once (key construction alone never fails — it only
+    packs the seed; the unsupported-op error surfaces at lowering)."""
+    global _RBG_OK
+    if _RBG_OK is None:
+        try:
+            jax.random.bits(
+                jax.random.key(0, impl="rbg"), (8,), jnp.uint32
+            ).block_until_ready()
+            _RBG_OK = True
+        except Exception:
+            _RBG_OK = False
+    return _RBG_OK
+
+
 def _stochastic_round_bf16(key, x32):
     """Unbiased float32 → bfloat16 rounding: add a uniform random value
     in [0, 1) of the dropped-mantissa ulp to the low 16 bits, truncate.
@@ -192,18 +211,22 @@ def _scale_by_adam_bf16_moments(b1: float, b2: float, eps: float):
         c = count.astype(jnp.float32)
         bc1 = 1.0 - b1**c
         bc2 = 1.0 - b2**c
-        # deterministic per-step stream: reproducible given the step
-        # count, independent across steps and leaves. The rounding noise
-        # covers ~2 x n_params elements per step, so the generator cost
-        # matters: Threefry bits for 10^8-element moment tables were
-        # MEASURED to cost more than the bf16 bandwidth they enable
-        # (16.8% vs 18.3% MFU at H=256/200k/B=1024); the hardware-backed
-        # "rbg" generator is cheap, and its weaker stream quality is
-        # irrelevant for rounding dither.
-        try:
-            root = jax.random.key(0x5EED, impl="rbg")
-        except Exception:  # backends without RngBitGenerator support
-            root = jax.random.PRNGKey(0x5EED)
+        # per-step stream derived from the step count, independent
+        # across steps and leaves. The rounding noise covers
+        # ~2 x n_params elements per step, so the generator cost
+        # matters: Threefry bits for 10^8-element moment tables cost
+        # more than the bf16 bandwidth they enable; the hardware-backed
+        # "rbg" generator is cheap. Caveats, both fine for rounding
+        # dither: rbg's stream quality is weaker, and XLA does NOT
+        # guarantee RngBitGenerator output stable across versions /
+        # backends / shardings — the EMA stays unbiased under ANY
+        # dither stream, but bitwise exact-resume reproducibility of
+        # bf16 moments holds only within one runtime.
+        root = (
+            jax.random.key(0x5EED, impl="rbg")
+            if _rbg_supported()
+            else jax.random.PRNGKey(0x5EED)
+        )
         base_key = jax.random.fold_in(root, count)
 
         def step(i, g, m, v):
