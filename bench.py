@@ -84,12 +84,15 @@ def make_model(
     device_init: bool = False,
     tower: str = "GRU",
     opt: str = "adam",
+    emb: int = 0,
 ):
     from seqrec_tpu.models.recurrent import RecurrentLayers
     from seqrec_tpu.models.rnn_one_hot import RNNOneHot
 
     model = RNNOneHot(
-        recurrent_layer=RecurrentLayers(layer_type=tower, layers=[hidden]),
+        recurrent_layer=RecurrentLayers(
+            layer_type=tower, layers=[hidden], embedding_size=emb
+        ),
         updater=make_updater(opt),
         max_length=MAX_LEN,
         batch_size=batch_size,
@@ -98,14 +101,14 @@ def make_model(
     )
     model._prepare_networks(n_items)
     if device_init:
-        model.params = _device_init_params(hidden, n_items, tower)
+        model.params = _device_init_params(hidden, n_items, tower, emb)
     else:
         model.params = model._init_params()
     model._build_functions()
     return model
 
 
-def _device_init_params(H: int, N: int, tower: str = "GRU"):
+def _device_init_params(H: int, N: int, tower: str = "GRU", emb: int = 0):
     """Flagship CCE parameter pytree initialized ON DEVICE.
 
     The host-side `_init_params` + transfer costs minutes through the
@@ -122,8 +125,9 @@ def _device_init_params(H: int, N: int, tower: str = "GRU"):
     def init(key):
         ks = jax.random.split(key, 8)
         limit = (6.0 / (H + N)) ** 0.5
+        in_dim = emb if emb else N
         layer = {
-            "W_in": 0.1 * jax.random.normal(ks[0], (N, G * H), jnp.float32),
+            "W_in": 0.1 * jax.random.normal(ks[0], (in_dim, G * H), jnp.float32),
             "W_hid": 0.1 * jax.random.normal(ks[1], (H, G * H), jnp.float32),
             "b": jnp.zeros((G * H,), jnp.float32),
             "h0": jnp.zeros((H,), jnp.float32),
@@ -133,8 +137,13 @@ def _device_init_params(H: int, N: int, tower: str = "GRU"):
             layer["w_ci"] = 0.1 * jax.random.normal(ks[3], (H,), jnp.float32)
             layer["w_cf"] = 0.1 * jax.random.normal(ks[4], (H,), jnp.float32)
             layer["w_co"] = 0.1 * jax.random.normal(ks[5], (H,), jnp.float32)
+        tower_tree = {"layer0_fwd": layer}
+        if emb:
+            tower_tree["embedding"] = 0.1 * jax.random.normal(
+                ks[6], (N, emb), jnp.float32
+            )
         return {
-            "tower": {"layer0_fwd": layer},
+            "tower": tower_tree,
             "W_out": jax.random.uniform(
                 ks[2], (H, N), jnp.float32, -limit, limit
             ),
@@ -324,6 +333,24 @@ def matrix_configs():
     rows.append(
         {"H": 256, "catalog": 200_000, "dtype": "f32", "opt": "adagrad", "B": 8192}
     )
+    # factorized embedding input (--r_emb, reference parity flag): the
+    # input-table gather/scatter at D=3H rows runs far below streaming
+    # speed (measured: D=768 gather 5.6 ms vs D=128 0.62 ms for the
+    # same row count; scatter 12.7 vs 2.9 ms) — E=128 shrinks both and
+    # adds one cheap E->3H matmul
+    rows.append(
+        {
+            "H": 256,
+            "catalog": 200_000,
+            "dtype": "f32",
+            "opt": "adagrad",
+            "B": 8192,
+            "emb": 128,
+        }
+    )
+    rows.append(
+        {"H": 256, "catalog": 200_000, "dtype": "f32", "B": 1024, "emb": 128}
+    )
     # bf16 matmuls re-measured once the optimizer share shrinks
     rows.append({"H": 256, "catalog": 200_000, "dtype": "bf16", "B": 4096})
     rows.append(
@@ -437,6 +464,8 @@ def _row_key(cfg: dict) -> str:
     )
     if cfg.get("opt", "adam") != "adam":
         key += "-" + cfg["opt"]
+    if cfg.get("emb"):
+        key += f"-emb{cfg['emb']}"
     if cfg.get("no_pallas"):
         key += "-xla"
     if cfg.get("no_stream"):
@@ -492,6 +521,8 @@ def run_matrix(windows: int = 3, n_dispatch: int = 2):
             "tower": tower,
             "opt": opt,
         }
+        if cfg.get("emb"):
+            row["emb"] = cfg["emb"]
         if cfg.get("no_pallas"):
             row["no_pallas"] = True
         if cfg.get("no_stream"):
@@ -509,6 +540,7 @@ def run_matrix(windows: int = 3, n_dispatch: int = 2):
             model = make_model(
                 B, hidden=hidden, n_items=handler.n_items,
                 compute_dtype=dtype, device_init=True, tower=tower, opt=opt,
+                emb=cfg.get("emb", 0),
             )
             value, win = measure_end_to_end(
                 model, handler, steps=n_dispatch * MATRIX_K,
