@@ -351,6 +351,18 @@ def matrix_configs():
     rows.append(
         {"H": 256, "catalog": 200_000, "dtype": "f32", "B": 1024, "emb": 128}
     )
+    # at the emb ceiling the step is finally matmul-heavy (~49% f32
+    # MFU): re-try bf16 matmuls where they can actually pay
+    rows.append(
+        {
+            "H": 256,
+            "catalog": 200_000,
+            "dtype": "bf16",
+            "opt": "adagrad",
+            "B": 8192,
+            "emb": 128,
+        }
+    )
     # bf16 matmuls re-measured once the optimizer share shrinks
     rows.append({"H": 256, "catalog": 200_000, "dtype": "bf16", "B": 4096})
     rows.append(
