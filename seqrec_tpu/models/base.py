@@ -1750,7 +1750,7 @@ class RNNBase:
             pytree_save(filename, self._gather_tree())
             return
         snap = jax.tree_util.tree_map(
-            lambda x: x + 0 if isinstance(x, jax.Array) else np.asarray(x),
+            lambda x: jnp.copy(x) if isinstance(x, jax.Array) else np.asarray(x),
             self.params,
         )
         opt_leaves = None

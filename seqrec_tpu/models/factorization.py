@@ -398,12 +398,27 @@ class MFBase:
         density^R)."""
         R = self._NEG_REJECTION_ROUNDS
         n = u.shape[0]
+        key, kfb = jax.random.split(key)
         cands = jax.random.randint(key, (R, n), 0, self.n_items)
         bad = self._device_member(
             st, cands.reshape(-1), jnp.tile(u, R), trips
         ).reshape(R, n)
         first = jnp.argmin(bad, axis=0)  # first False per column
-        return cands[first, jnp.arange(n)]
+        rows = jnp.arange(n)
+        chosen = cands[first, rows]
+        # all-rejected tail (density^R): redraw those columns instead of
+        # emitting a member; lax.cond skips the second membership pass
+        # whenever every column accepted (the overwhelmingly common case)
+        all_bad = bad.all(axis=0)
+
+        def _redraw(_):
+            uc = jax.random.randint(kfb, (4, n), 0, self.n_items)
+            ub = self._device_member(
+                st, uc.reshape(-1), jnp.tile(u, 4), trips
+            ).reshape(4, n)
+            return jnp.where(all_bad, uc[jnp.argmin(ub, axis=0), rows], chosen)
+
+        return jax.lax.cond(jnp.any(all_bad), _redraw, lambda _: chosen, None)
 
     def _sample_users(self, n: int) -> np.ndarray:
         return self.rng.choice(self._eligible_users, size=n)
@@ -440,7 +455,7 @@ class MFBase:
         n, F = weights.shape
         N = self.n_items
         lam = float(self.sampling_bias)
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
         if lam <= 0.0:
             # host parity: rng.exponential(scale=0) returns all zeros,
             # i.e. always the top-ranked item per factor
@@ -466,7 +481,24 @@ class MFBase:
         cand = ranks[idx, f]  # [R, n]
         bad = reject_fn(cand)
         first = jnp.argmin(bad, axis=0)  # first non-rejected per column
-        return cand[first, rows]
+        chosen = cand[first, rows]
+        # all-R-rejected tail: the host/reference sampler redraws until
+        # accepted, so emitting a rejected candidate (argmin of all-True
+        # = 0) would be a tail divergence from the reference
+        # distribution. Fall back to uniform non-member draws for those
+        # columns; lax.cond skips the extra membership pass entirely in
+        # the overwhelmingly common case where every column accepted.
+        all_bad = bad.all(axis=0)
+
+        def _uniform_fallback(_):
+            ucand = jax.random.randint(k3, (4, n), 0, N)
+            ubad = reject_fn(ucand)
+            ufirst = jnp.argmin(ubad, axis=0)
+            return jnp.where(all_bad, ucand[ufirst, rows], chosen)
+
+        return jax.lax.cond(
+            jnp.any(all_bad), _uniform_fallback, lambda _: chosen, None
+        )
 
     def _adaptive_negatives_vec(self, weights, signs, reject_fn) -> np.ndarray:
         """Vectorized Rendle'14 adaptive negative sampling
@@ -719,8 +751,8 @@ class BPRMF(MFBase):
                 jnp.sign(Vu),
                 ranks,
                 lambda cand: self._device_member(
-                    st, cand.reshape(-1), jnp.tile(u, R), trips
-                ).reshape(R, n),
+                    st, cand.reshape(-1), jnp.tile(u, cand.shape[0]), trips
+                ).reshape(cand.shape),
             )
             return u, i, j
 

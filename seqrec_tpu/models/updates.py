@@ -175,9 +175,13 @@ def _stochastic_round_bf16(key, x32):
     expectation, which is all an EMA needs."""
     bits = jax.lax.bitcast_convert_type(x32, jnp.uint32)
     noise = jax.random.bits(key, x32.shape, jnp.uint32) & jnp.uint32(0xFFFF)
-    return jax.lax.bitcast_convert_type(
+    rounded = jax.lax.bitcast_convert_type(
         ((bits + noise) >> 16) << 16, jnp.float32
-    ).astype(jnp.bfloat16)
+    )
+    # non-finite moments (transient gradient overflow) must stay what
+    # they are: dithering in raw bit space is only meaningful for finite
+    # values, so pass inf/NaN through the plain dtype cast instead
+    return jnp.where(jnp.isfinite(x32), rounded, x32).astype(jnp.bfloat16)
 
 
 def _scale_by_adam_bf16_moments(b1: float, b2: float, eps: float):

@@ -28,15 +28,23 @@ forward matmul pass in the backward (the standard flash/remat trade:
 op targets (catalog >= ~16k), the traffic saved is an order of magnitude
 more than the extra pass costs.
 
-Sharding note: under pjit with ``W_out`` column-sharded on the mesh
-"model" axis, the chunked reshape would fight GSPMD's partitioning (each
-shard already materializes only its [B, N/m] logit slice). The model
-gates this path to unsharded execution; the mesh path keeps the XLA
-logsumexp whose psum GSPMD inserts.
+Sharding: ``sharded_streaming_cce`` composes the same op with a
+("data", "model") mesh via ``jax.shard_map``: each model shard runs the
+column-chunk scan over ITS ``[H, N/m]`` slice of ``W_out`` only, and the
+online (m, s) log-sum-exp stats plus the target logit combine across
+shards with a pmax/psum over "model" (the flash recurrence is
+associative across shards, so the global stats are exact). The backward
+recomputes each local chunk against the GLOBAL logz, contracts straight
+into the LOCAL ``dW`` slice (never communicated over "model" — it is
+psum'd over "data" like any data-parallel gradient), and psums the
+``dh`` partials over "model". Under GSPMD alone the chunked
+dynamic-slice scan would fight the partitioner — shard_map makes the
+per-shard scan explicit and leaves GSPMD out of it.
 
 The math is validated against the dense path in
 tests/test_streaming_cce.py (forward, grads, non-divisible chunk tails,
-bf16 compute dtype).
+bf16 compute dtype) and against the single-device streaming op on the
+virtual 8-device mesh in tests/test_parallel.py.
 """
 
 from __future__ import annotations

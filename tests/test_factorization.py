@@ -355,8 +355,9 @@ def test_device_adaptive_draw_distribution_parity(synthetic_handler):
             jnp.sign(Vu),
             jnp.asarray(model.ranks.astype(np.int32)),
             lambda cand: model._device_member(
-                st, cand.reshape(-1), jnp.tile(u_dev, R), model._bs_trips
-            ).reshape(R, n_draws),
+                st, cand.reshape(-1), jnp.tile(u_dev, cand.shape[0]),
+                model._bs_trips,
+            ).reshape(cand.shape),
         )
     )
 
