@@ -87,7 +87,23 @@ class RNNMargin(RNNBase):
         }
 
     # ------------------------------------------------------------------
+    def _use_streaming_head(self) -> bool:
+        """Large catalogs route the margin loss through the chunked-scan
+        op (ops/streaming_margin.py): the [B, n_items] Y/Wt/prediction
+        matrices never reach HBM — the same memory bound the streaming
+        CCE removed from the one-hot head. SEQREC_NO_STREAMING_MARGIN=1
+        pins the dense path (bench controls)."""
+        import os
+
+        from seqrec_tpu.ops.streaming_margin import STREAMING_MARGIN_MIN_ITEMS
+
+        if os.environ.get("SEQREC_NO_STREAMING_MARGIN"):
+            return False
+        return self.n_items >= STREAMING_MARGIN_MIN_ITEMS
+
     def _loss(self, params, batch):
+        if self._use_streaming_head():
+            return self._streaming_loss(params, batch)
         h = self.recurrent_layer.apply(
             params["tower"], batch["ids"], batch["mask"], batch.get("id_mask"),
             fast="train",
@@ -125,6 +141,39 @@ class RNNMargin(RNNBase):
             predictions, Y[:, : self.n_items], W[:, : self.n_items]
         )
         return loss.mean()
+
+    def _streaming_loss(self, params, batch):
+        from seqrec_tpu.ops.streaming_margin import (
+            pick_chunk,
+            sharded_streaming_margin,
+            streaming_margin,
+        )
+
+        h = self.recurrent_layer.apply(
+            params["tower"], batch["ids"], batch["mask"], batch.get("id_mask"),
+            fast="train",
+        )
+        t_count = batch["t_count"]
+        seq_len = batch["mask"].sum(axis=1)
+        w_neg = self.balance * t_count / (self.n_items - t_count - seq_len)
+        default_target = batch.get("default_target")
+        if default_target is None:
+            default_target = jnp.asarray(self._default_target)
+        if self.mesh is not None and self.n_items % self.mesh.shape["model"] == 0:
+            per_ex = sharded_streaming_margin(
+                h, params["W_out"], params["b_out"], batch["target_ids"],
+                batch["seen_ids"], w_neg, default_target, self.mesh,
+                self.loss_function_name, self.interactions_are_unique,
+                compute_dtype=self.compute_dtype,
+            )
+        else:
+            per_ex = streaming_margin(
+                h, params["W_out"], params["b_out"], batch["target_ids"],
+                batch["seen_ids"], w_neg, default_target,
+                self.loss_function_name, self.interactions_are_unique,
+                pick_chunk(self.n_items), self.compute_dtype,
+            )
+        return per_ex.mean()
 
     def _scores(self, params, ids, id_mask, mask):
         h = self.recurrent_layer.apply(params["tower"], ids, mask, id_mask, fast=True)

@@ -66,31 +66,48 @@ class RNNOneHot(RNNBase):
         """Large catalogs route the training loss through the streaming
         (flash-style) CCE: the [B, n_items] logit matrix never reaches
         HBM (ops/streaming_cce.py — the measured memory bound at
-        10^5-item catalogs). Unsharded only: under a mesh, GSPMD already
-        column-shards the logits and inserts the logsumexp psum.
-        SEQREC_NO_STREAMING_CCE=1 pins the dense path (bench controls)."""
+        10^5-item catalogs). Under a mesh with W_out column-sharded, the
+        sharded composition scans each shard's column slice and psums
+        the online LSE stats (ops/streaming_cce.sharded_streaming_cce);
+        a catalog that does not divide the model axis leaves W_out
+        replicated (parallel.mesh.param_sharding) and the plain op runs
+        data-parallel under GSPMD. SEQREC_NO_STREAMING_CCE=1 pins the
+        dense path (bench controls)."""
         import os
 
         from seqrec_tpu.ops.streaming_cce import STREAMING_CCE_MIN_ITEMS
 
         if os.environ.get("SEQREC_NO_STREAMING_CCE"):
             return False
-        return self.mesh is None and self.n_items >= STREAMING_CCE_MIN_ITEMS
+        return self.n_items >= STREAMING_CCE_MIN_ITEMS
 
     def _loss(self, params, batch):
         if self._use_streaming_head():
-            from seqrec_tpu.ops.streaming_cce import pick_chunk, streaming_cce
+            from seqrec_tpu.ops.streaming_cce import (
+                pick_chunk,
+                sharded_streaming_cce,
+                streaming_cce,
+            )
 
             h = self.recurrent_layer.apply(
                 params["tower"], batch["ids"], batch["mask"],
                 batch.get("id_mask"), fast="train",
             )
-            # static args passed positionally: custom_vjp's
-            # nondiff_argnums binds by position
-            per_ex = streaming_cce(
-                h, params["W_out"], params["b_out"], batch["targets"],
-                pick_chunk(self.n_items), self.compute_dtype,
-            )
+            if (
+                self.mesh is not None
+                and self.n_items % self.mesh.shape["model"] == 0
+            ):
+                per_ex = sharded_streaming_cce(
+                    h, params["W_out"], params["b_out"], batch["targets"],
+                    self.mesh, compute_dtype=self.compute_dtype,
+                )
+            else:
+                # static args passed positionally: custom_vjp's
+                # nondiff_argnums binds by position
+                per_ex = streaming_cce(
+                    h, params["W_out"], params["b_out"], batch["targets"],
+                    pick_chunk(self.n_items), self.compute_dtype,
+                )
             cost = (per_ex / batch["target_pop"]).mean()
         else:
             logits = self._logits(

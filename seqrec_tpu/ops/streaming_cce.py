@@ -114,17 +114,36 @@ def _chunk_logits(h_c, Wp, bp, i, chunk, compute_dtype):
     )
 
 
-def _fwd(h, W, b, targets, chunk, compute_dtype):
-    B = h.shape[0]
-    N = W.shape[1]
-    Wp, bp, n_chunks = _pad_cols(W, b, chunk)
-    h_c = h.astype(compute_dtype)
+def _vary(x, vma_axes):
+    """Mark a constant as device-varying over ``vma_axes`` — required
+    for scan carry inits inside shard_map under the VMA type system
+    (the body's outputs are varying, so the init must be too)."""
+    return jax.lax.pcast(x, vma_axes, to="varying") if vma_axes else x
+
+
+def _stats_scan(
+    h_c, Wp, bp, targets, chunk, n_chunks, compute_dtype, n_valid=None, vma_axes=()
+):
+    """Online (m, s, target-logit) over the column chunks of (Wp, bp).
+
+    ``targets`` are ids RELATIVE to column 0 of ``Wp`` (a model shard
+    passes ids shifted by its column offset; out-of-range ids simply
+    never hit and leave tl at 0). ``n_valid`` bounds the REAL (unpadded)
+    columns: a foreign shard's relative target in [n_valid, Np) would
+    otherwise land in the final chunk's pad columns and pick up their
+    -1e30 bias as a "target logit"."""
+    B = h_c.shape[0]
+    if n_valid is not None:
+        targets = jnp.where(targets < n_valid, targets, -1)
     t_col = targets[:, None]
 
-    init = (
-        jnp.full((B,), -1e30, jnp.float32),
-        jnp.zeros((B,), jnp.float32),
-        jnp.zeros((B,), jnp.float32),
+    init = _vary(
+        (
+            jnp.full((B,), -1e30, jnp.float32),
+            jnp.zeros((B,), jnp.float32),
+            jnp.zeros((B,), jnp.float32),
+        ),
+        vma_axes,
     )
 
     def scan_body(carry, i):
@@ -144,19 +163,32 @@ def _fwd(h, W, b, targets, chunk, compute_dtype):
     (m, s, tl), _ = jax.lax.scan(
         scan_body, init, jnp.arange(n_chunks, dtype=jnp.int32)
     )
+    return m, s, tl
+
+
+def _fwd(h, W, b, targets, chunk, compute_dtype):
+    Wp, bp, n_chunks = _pad_cols(W, b, chunk)
+    m, s, tl = _stats_scan(
+        h.astype(compute_dtype), Wp, bp, targets, chunk, n_chunks, compute_dtype
+    )
     loss = jnp.log(s) + m - tl
     # residuals: the [B]-sized softmax stats — NOT the logits
     return loss, (h, W, b, targets, m, s)
 
 
-def _bwd(chunk, compute_dtype, res, g):
-    h, W, b, targets, m, s = res
-    H, N = W.shape
-    Wp, bp, n_chunks = _pad_cols(W, b, chunk)
+def _grad_scan(
+    h_c, Wp, bp, targets, logz, gcol, chunk, n_chunks, compute_dtype,
+    n_valid=None, vma_axes=(),
+):
+    """Chunked backward accumulation. Returns (dh, dWp, dbp) in f32 with
+    dWp/dbp still padded to the chunk multiple. ``targets`` relative to
+    column 0 of ``Wp`` (as in ``_stats_scan``, including the ``n_valid``
+    pad-column guard); ``logz``/``gcol`` are [B, 1] columns of the
+    GLOBAL log-partition and upstream cotangent."""
+    H = Wp.shape[0]
     Np = n_chunks * chunk
-    h_c = h.astype(compute_dtype)
-    logz = (m + jnp.log(s))[:, None]  # [B, 1]
-    gcol = g[:, None]  # upstream per-example cotangent
+    if n_valid is not None:
+        targets = jnp.where(targets < n_valid, targets, -1)
     t_col = targets[:, None]
 
     def body(carry, i):
@@ -187,12 +219,27 @@ def _bwd(chunk, compute_dtype, res, g):
 
     (dh, dW, db), _ = jax.lax.scan(
         body,
-        (
-            jnp.zeros(h.shape, jnp.float32),
-            jnp.zeros((H, Np), jnp.float32),
-            jnp.zeros((Np,), jnp.float32),
+        _vary(
+            (
+                jnp.zeros(h_c.shape, jnp.float32),
+                jnp.zeros((H, Np), jnp.float32),
+                jnp.zeros((Np,), jnp.float32),
+            ),
+            vma_axes,
         ),
         jnp.arange(n_chunks, dtype=jnp.int32),
+    )
+    return dh, dW, db
+
+
+def _bwd(chunk, compute_dtype, res, g):
+    h, W, b, targets, m, s = res
+    N = W.shape[1]
+    Wp, bp, n_chunks = _pad_cols(W, b, chunk)
+    logz = (m + jnp.log(s))[:, None]  # [B, 1]
+    dh, dW, db = _grad_scan(
+        h.astype(compute_dtype), Wp, bp, targets, logz, g[:, None],
+        chunk, n_chunks, compute_dtype,
     )
     return (
         dh.astype(h.dtype),
@@ -205,4 +252,110 @@ def _bwd(chunk, compute_dtype, res, g):
 streaming_cce.defvjp(
     lambda h, W, b, t, chunk, cdt: _fwd(h, W, b, t, chunk, cdt),
     _bwd,
+)
+
+
+# ----------------------------------------------------------------------
+# mesh-sharded composition
+# ----------------------------------------------------------------------
+def sharded_streaming_cce(
+    h, W, b, targets, mesh, chunk: int | None = None, compute_dtype=jnp.float32
+):
+    """``streaming_cce`` over a ("data", "model") mesh.
+
+    ``W [H, N]`` column-sharded P(None, "model"), ``b [N]`` P("model"),
+    ``h [B, H]`` / ``targets [B]`` data-sharded. Each model shard scans
+    only its [H, N/m] slice; the online LSE stats and the target logit
+    psum/pmax over "model" (exact — the flash combine is associative);
+    the hand-VJP contracts each shard's chunks straight into its LOCAL
+    dW slice. Requires N % mesh["model"] == 0 (the same condition under
+    which ``parallel.mesh.param_sharding`` shards W_out at all — callers
+    with a non-dividing catalog keep W replicated and can use the plain
+    ``streaming_cce``, which GSPMD data-parallelizes as-is)."""
+    n_model = mesh.shape["model"]
+    N = W.shape[1]
+    if N % n_model:
+        raise ValueError(
+            f"catalog {N} does not divide the model axis ({n_model}); "
+            "use streaming_cce with a replicated W instead"
+        )
+    if chunk is None:
+        chunk = pick_chunk(N // n_model)
+    return _sharded_cce(h, W, b, targets, mesh, chunk, compute_dtype)
+
+
+def _local_stats(h_l, W_l, b_l, t_l, chunk, compute_dtype):
+    """Per-(data, model) shard forward: local chunk scan + cross-shard
+    flash combine. Returns (loss, m, s) — all invariant over "model"."""
+    N_local = W_l.shape[1]
+    col0 = jax.lax.axis_index("model").astype(jnp.int32) * N_local
+    Wp, bp, n_chunks = _pad_cols(W_l, b_l, chunk)
+    m_l, s_l, tl_l = _stats_scan(
+        h_l.astype(compute_dtype), Wp, bp, t_l - col0, chunk, n_chunks,
+        compute_dtype, n_valid=N_local, vma_axes=("data", "model"),
+    )
+    m = jax.lax.pmax(m_l, "model")
+    s = jax.lax.psum(s_l * jnp.exp(m_l - m), "model")
+    tl = jax.lax.psum(tl_l, "model")  # exactly one shard owns the target
+    return jnp.log(s) + m - tl, m, s
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _sharded_cce(h, W, b, targets, mesh, chunk, compute_dtype):
+    loss, _ = _sh_fwd(h, W, b, targets, mesh, chunk, compute_dtype)
+    return loss
+
+
+def _sh_fwd(h, W, b, targets, mesh, chunk, compute_dtype):
+    from jax.sharding import PartitionSpec as P
+
+    run = jax.shard_map(
+        functools.partial(_local_stats, chunk=chunk, compute_dtype=compute_dtype),
+        mesh=mesh,
+        in_specs=(P("data", None), P(None, "model"), P("model"), P("data")),
+        out_specs=(P("data"), P("data"), P("data")),
+    )
+    loss, m, s = run(h, W, b, targets)
+    return loss, (h, W, b, targets, m, s)
+
+
+def _sh_bwd(mesh, chunk, compute_dtype, res, g):
+    from jax.sharding import PartitionSpec as P
+
+    h, W, b, targets, m, s = res
+
+    def local_bwd(h_l, W_l, b_l, t_l, m_l, s_l, g_l):
+        N_local = W_l.shape[1]
+        col0 = jax.lax.axis_index("model").astype(jnp.int32) * N_local
+        Wp, bp, n_chunks = _pad_cols(W_l, b_l, chunk)
+        logz = (m_l + jnp.log(s_l))[:, None]
+        dh_p, dWp, dbp = _grad_scan(
+            h_l.astype(compute_dtype), Wp, bp, t_l - col0, logz,
+            g_l[:, None], chunk, n_chunks, compute_dtype,
+            n_valid=N_local, vma_axes=("data", "model"),
+        )
+        # dh sums over ALL columns -> psum the per-model-shard partials;
+        # dW/db live on their model shard but sum over the batch -> psum
+        # over "data" (the standard data-parallel gradient all-reduce)
+        dh = jax.lax.psum(dh_p, "model")
+        dW = jax.lax.psum(dWp[:, :N_local], "data")
+        db = jax.lax.psum(dbp[:N_local], "data")
+        return dh, dW, db
+
+    run = jax.shard_map(
+        local_bwd,
+        mesh=mesh,
+        in_specs=(
+            P("data", None), P(None, "model"), P("model"), P("data"),
+            P("data"), P("data"), P("data"),
+        ),
+        out_specs=(P("data", None), P(None, "model"), P("model")),
+    )
+    dh, dW, db = run(h, W, b, targets, m, s, g)
+    return dh.astype(h.dtype), dW.astype(W.dtype), db.astype(b.dtype), None
+
+
+_sharded_cce.defvjp(
+    lambda h, W, b, t, mesh, chunk, cdt: _sh_fwd(h, W, b, t, mesh, chunk, cdt),
+    _sh_bwd,
 )
