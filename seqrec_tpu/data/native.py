@@ -1,9 +1,11 @@
-"""ctypes binding to the native IO library (native/seqrec_io.cc).
+"""ctypes binding to the native IO library
+(seqrec_tpu/native_src/seqrec_io.cc).
 
-The shared library is built on first use with ``g++ -O3`` into the
-package's ``_native`` cache directory; all entry points degrade to the
-pure-Python parsers when the toolchain or the build is unavailable, so
-the framework never hard-depends on the native path.
+The shared library is built on first use with ``g++ -O3`` into a
+writable cache directory (site-packages may be read-only for installed
+distributions); all entry points degrade to the pure-Python parsers
+when the toolchain or the build is unavailable, so the framework never
+hard-depends on the native path.
 """
 
 from __future__ import annotations
@@ -15,9 +17,11 @@ import threading
 
 import numpy as np
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "native", "seqrec_io.cc")
-_BUILD_DIR = os.path.join(_REPO_ROOT, "native", "_build")
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_PKG_ROOT, "native_src", "seqrec_io.cc")
+_BUILD_DIR = os.environ.get("SEQREC_NATIVE_BUILD_DIR") or os.path.join(
+    os.path.expanduser("~"), ".cache", "seqrec_tpu", "native"
+)
 _LIB_PATH = os.path.join(_BUILD_DIR, "libseqrec_io.so")
 
 _lock = threading.Lock()
