@@ -146,8 +146,9 @@ def main(argv=None):
     if mesh is not None:
         if not hasattr(predictor, "set_mesh"):
             raise ValueError(
-                f"--mesh is supported for the RNN/SDAE/cluster families; "
-                f"{predictor.name!r} trains single-device"
+                f"--mesh is supported for the RNN/SDAE/cluster families "
+                f"(sharded training) and the MF family (sharded eval "
+                f"top-k); {predictor.name!r} runs single-device"
             )
         predictor.set_mesh(mesh)
     if args.steps_per_dispatch > 1 and hasattr(predictor, "steps_per_dispatch"):

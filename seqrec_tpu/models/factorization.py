@@ -63,6 +63,11 @@ class MFBase:
         self.max_length = np.inf  # compatibility with the RNN drivers
         self.seed = seed
         self.rng = np.random.default_rng(seed)
+        # eval-only mesh (set_mesh): MF TRAINING stays single-device by
+        # design — the reference's sampled-SGD chunks have no batch axis
+        # worth sharding and the tables fit one chip — but the catalog
+        # scoring + top-k at validation/test shards over "model"
+        self.mesh = None
         self.metrics = {
             "recall": {"direction": 1},
             "sps": {"direction": 1},
@@ -163,15 +168,97 @@ class MFBase:
         back to per-user ``top_k_recommendations``)."""
         return None
 
+    # eval-time device scoring ------------------------------------------
+    # Threshold above which the catalog scoring + top-k runs on device
+    # even without a mesh (one [B, F] transfer + fused masked top-k beat
+    # the host's [B, n_items] matmul + argpartition at 10^5 catalogs)
+    DEVICE_TOPK_MIN_ITEMS = 16384
+
+    def set_mesh(self, mesh) -> None:
+        """Accept a ("data", "model") mesh for EVAL sharding.
+
+        Training stays single-device (documented decision: the sampled
+        SGD chunks are latency-bound on [n]-sized gathers, not
+        catalog-sized matmuls, and the factor tables fit one chip), but
+        validation/test scoring shards the [F, n_items] output table
+        over "model" and merges k candidates per shard
+        (parallel/topk.py:sharded_score_topk)."""
+        self.mesh = mesh
+
+    def _rep_rows(self, user_ids, seqs):
+        """[B, F] user-representation rows (numpy) such that scores =
+        rep @ W + b with (W, b) = ``_device_out_table``. None = the
+        model has no factored scorer (lazy fallbacks)."""
+        return None
+
+    def _device_out_table(self):
+        """(W [F, n_items] device array, bias [n_items] or None)."""
+        return None
+
+    def _use_device_topk(self) -> bool:
+        import os
+
+        if os.environ.get("SEQREC_NO_DEVICE_TOPK"):
+            return False
+        return self.mesh is not None or self.n_items >= self.DEVICE_TOPK_MIN_ITEMS
+
+    def _device_topk_batch(self, user_ids, seqs, k):
+        import jax.numpy as jnp
+
+        rep = self._rep_rows(user_ids, seqs)
+        table = self._device_out_table()
+        if rep is None or table is None:
+            return None
+        W, b = table
+        W = jnp.asarray(W, jnp.float32)
+        b = (
+            jnp.zeros((W.shape[1],), jnp.float32)
+            if b is None
+            else jnp.asarray(b, jnp.float32)
+        )
+        B = rep.shape[0]
+        S = max(1, max((len(s) for s in seqs), default=1))
+        seen = np.zeros((B, S), np.int32)
+        sm = np.zeros((B, S), np.float32)
+        for r, s in enumerate(seqs):
+            ids = [int(i[0]) for i in s]
+            seen[r, : len(ids)] = ids
+            sm[r, : len(ids)] = 1.0
+        if self.mesh is not None and self.n_items % self.mesh.shape["model"] == 0:
+            from seqrec_tpu.parallel.topk import sharded_score_topk
+
+            n_data = self.mesh.shape["data"]
+            pad = (-B) % n_data
+            if pad:  # shard_map needs the batch to divide "data"
+                rep = np.concatenate(
+                    [rep, np.zeros((pad, rep.shape[1]), rep.dtype)]
+                )
+                seen = np.concatenate([seen, np.zeros((pad, S), np.int32)])
+                sm = np.concatenate([sm, np.zeros((pad, S), np.float32)])
+            out = sharded_score_topk(
+                self.mesh, jnp.asarray(rep, jnp.float32), W, b,
+                jnp.asarray(seen), jnp.asarray(sm), k=k,
+            )
+            return np.asarray(out)[:B]
+        from seqrec_tpu.ops.core import masked_top_k
+
+        scores = jnp.asarray(rep, jnp.float32) @ W + b
+        return np.asarray(masked_top_k(scores, k, jnp.asarray(seen), jnp.asarray(sm)))
+
     def top_k_batch(self, instances, k=10):
         """Vectorized top-k for ``[(sequence, user_id), ...]``: one
         whole-matrix scoring pass + one argpartition, instead of the
         reference's one full-catalog scoring call per user
-        (mf_base.py:66-80)."""
+        (mf_base.py:66-80). Large catalogs (or an eval mesh) route
+        through the device scorer instead of host numpy."""
         if not instances:
             return []
         user_ids = np.array([int(u) for _, u in instances], dtype=np.int64)
         seqs = [s for s, _ in instances]
+        if self._use_device_topk():
+            out = self._device_topk_batch(user_ids, seqs, k)
+            if out is not None:
+                return out
         scores = self._batch_scores(user_ids, seqs)
         if scores is None:
             return [
@@ -823,9 +910,16 @@ class BPRMF(MFBase):
         return cost, n
 
     # ------------------------------------------------------------------
+    def _rep_rows(self, user_ids, seqs):
+        return self._np("V")[user_ids]
+
+    def _device_out_table(self):
+        import jax.numpy as jnp
+
+        return jnp.asarray(self.H).T, self.bias
+
     def _batch_scores(self, user_ids, seqs):
-        V, H, bias = self._np("V"), self._np("H"), self._np("bias")
-        return bias + V[user_ids] @ H.T
+        return self._np("bias") + self._rep_rows(user_ids, seqs) @ self._np("H").T
 
     def top_k_recommendations(self, sequence, user_id=None, k=10, exclude=None):
         if exclude is None:
@@ -1104,6 +1198,26 @@ class FPMC(MFBase):
             np.float32(self.learning_rate),
         )
         return cost, n
+
+    def _rep_rows(self, user_ids, seqs):
+        lasts = np.array([int(s[-1][0]) for s in seqs], dtype=np.int64)
+        return np.concatenate(
+            (self._np("V_user_item")[user_ids], self._np("V_prev_next")[lasts]),
+            axis=1,
+        )
+
+    def _device_out_table(self):
+        import jax.numpy as jnp
+
+        # [VIU ‖ VNP]^T: scores = [VUI[u] ‖ VPN[last]] @ it (fpmc.py's
+        # CF + MC terms in one matmul); no bias term in FPMC
+        return (
+            jnp.concatenate(
+                (jnp.asarray(self.V_item_user), jnp.asarray(self.V_next_prev)),
+                axis=1,
+            ).T,
+            None,
+        )
 
     def _batch_scores(self, user_ids, seqs):
         lasts = np.array([int(s[-1][0]) for s in seqs], dtype=np.int64)
@@ -1386,8 +1500,8 @@ class FISM(MFBase):
             V[user_items].sum(axis=0) @ H.T
         )
 
-    def _batch_scores(self, user_ids, seqs):
-        V, H, bias = self._np("V"), self._np("H"), self._np("bias")
+    def _rep_rows(self, user_ids, seqs):
+        V = self._np("V")
         sums, lens, _, _ = self._bag_sums(V, seqs)
         # empty bags (length-1 validation sequences yield an empty first
         # half): 0^-alpha = inf would turn the zero sums row into NaNs —
@@ -1395,7 +1509,15 @@ class FISM(MFBase):
         w = np.power(np.maximum(lens, 1).astype(np.float64), -self.alpha).astype(
             V.dtype
         )
-        return bias + (sums * w[:, None]) @ H.T
+        return sums * w[:, None]
+
+    def _device_out_table(self):
+        import jax.numpy as jnp
+
+        return jnp.asarray(self.H).T, self.bias
+
+    def _batch_scores(self, user_ids, seqs):
+        return self._np("bias") + self._rep_rows(user_ids, seqs) @ self._np("H").T
 
     def top_k_recommendations(self, sequence, user_id=None, k=10, exclude=None):
         if exclude is None:
@@ -1627,8 +1749,8 @@ class Fossil(MFBase):
         short_term = w @ V[user_items[: -effective_order - 1 : -1]]
         return bias + (long_term + short_term) @ H.T
 
-    def _batch_scores(self, user_ids, seqs):
-        V, H, bias = self._np("V"), self._np("H"), self._np("bias")
+    def _rep_rows(self, user_ids, seqs):
+        V = self._np("V")
         eta, eta_bias = self._np("eta"), self._np("eta_bias")
         sums, lens, flat, ends = self._bag_sums(V, seqs)
         # empty-bag guard as in FISM._batch_scores: clamp 0^-alpha
@@ -1642,7 +1764,15 @@ class Fossil(MFBase):
         recent = flat[np.where(rvalid, ends[:, None] - 1 - j, 0)]
         w = (eta_bias[None, :] + eta[user_ids]) * rvalid
         short = np.einsum("bj,bjk->bk", w, V[recent])
-        return bias + (long_term + short) @ H.T
+        return long_term + short
+
+    def _device_out_table(self):
+        import jax.numpy as jnp
+
+        return jnp.asarray(self.H).T, self.bias
+
+    def _batch_scores(self, user_ids, seqs):
+        return self._np("bias") + self._rep_rows(user_ids, seqs) @ self._np("H").T
 
     def top_k_recommendations(self, sequence, user_id=None, k=10, exclude=None):
         if exclude is None:

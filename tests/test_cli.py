@@ -143,14 +143,30 @@ def test_test_cli_mesh_matches_single_device(synthetic_dataset, capsys):
 def test_train_cli_mesh_rejects_unsupported_model(synthetic_dataset):
     import train as train_cli
 
+    # the lazy family has no device state at all — --mesh is an error
     with pytest.raises(ValueError, match="single-device"):
         train_cli.main(
             [
-                "-d", str(synthetic_dataset), "-m", "BPRMF",
+                "-d", str(synthetic_dataset), "-m", "POP",
                 "--max_iter", "5", "--progress", "5", "--save", "None",
                 "--mesh", "4,2",
             ]
         )
+
+
+def test_train_cli_mesh_mf_eval_sharding(synthetic_dataset):
+    """--mesh on an MF model trains single-device but runs the sharded
+    eval top-k (MFBase.set_mesh); the run must complete with metrics."""
+    import train as train_cli
+
+    res = train_cli.main(
+        [
+            "-d", str(synthetic_dataset), "-m", "BPRMF",
+            "--max_iter", "2000", "--progress", "2000", "--save", "None",
+            "--mesh", "4,2",
+        ]
+    )
+    assert res[0]["sps"] is not None
 
 
 def test_load_last_model_resume(synthetic_dataset):

@@ -470,3 +470,67 @@ def test_device_sampling_step_runs(synthetic_handler, factory):
         leaves = [model.V_user_item, model.V_item_user]
     for leaf in leaves:
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+@pytest.mark.parametrize(
+    "factory",
+    [
+        lambda: BPRMF(k=8, adaptive_sampling=False, init_sigma=0.3, seed=0),
+        lambda: FPMC(k_cf=8, k_mc=8, adaptive_sampling=False, init_sigma=0.3, seed=0),
+        lambda: FISM(k=8, loss="BPR", init_sigma=0.3, seed=0),
+        lambda: Fossil(k=8, order=2, init_sigma=0.3, seed=0),
+    ],
+    ids=["bprmf", "fpmc", "fism", "fossil"],
+)
+def test_mf_device_topk_matches_host(synthetic_handler, factory, monkeypatch):
+    """The device scoring+top-k path (and its mesh-sharded variant) must
+    rank the same as the host numpy argpartition path — compared by
+    SCORE (ties may reorder ids)."""
+    import jax
+
+    from seqrec_tpu.parallel import make_mesh
+
+    model = factory()
+    model.prepare_model(synthetic_handler)
+    model.change_data_format(synthetic_handler)
+    model.init_model()
+
+    instances = []
+    for sequence, user_id in synthetic_handler.validation_set(epochs=1):
+        half = len(sequence) // 2
+        if half:
+            instances.append((sequence[:half], user_id))
+        if len(instances) == 12:
+            break
+    user_ids = np.array([int(u) for _, u in instances], dtype=np.int64)
+    seqs = [s for s, _ in instances]
+
+    monkeypatch.setenv("SEQREC_NO_DEVICE_TOPK", "1")
+    host = np.asarray(model.top_k_batch(instances, k=5))
+    monkeypatch.delenv("SEQREC_NO_DEVICE_TOPK")
+
+    scores = model._batch_scores(user_ids, seqs)
+    for row, seq in zip(scores, seqs):
+        row[[int(i[0]) for i in seq]] = -np.inf
+
+    def check(got):
+        got = np.asarray(got)
+        assert got.shape == host.shape
+        for r in range(len(host)):
+            np.testing.assert_allclose(
+                scores[r, got[r]], scores[r, host[r]], rtol=1e-4, atol=1e-5
+            )
+
+    # single-device path (threshold forced down)
+    monkeypatch.setattr(type(model), "DEVICE_TOPK_MIN_ITEMS", 1)
+    assert model._use_device_topk()
+    check(model.top_k_batch(instances, k=5))
+
+    # mesh path: n_items must divide the model axis, batch pads to "data"
+    n_items = model.n_items
+    n_model = next(m for m in (4, 2, 1) if n_items % m == 0)
+    if len(jax.devices()) >= 2 * n_model:
+        model.set_mesh(
+            make_mesh(n_data=2, n_model=n_model, devices=jax.devices()[: 2 * n_model])
+        )
+        check(model.top_k_batch(instances, k=5))
