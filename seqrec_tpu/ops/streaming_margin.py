@@ -9,33 +9,43 @@ at B=8192 over a 200k catalog that is 3 x 6.5 GB of HBM-round-tripped
 intermediates per step, the same memory bound ``streaming_cce`` removed
 from the CCE head (BASELINE.md round 4).
 
-This op computes the same math chunk by chunk. ``Y`` and ``Wt`` are
-pure FUNCTIONS of the column id — default target everywhere except
-target ids (Y=1, Wt=-1) and, when interactions are unique, seen ids
-(both 0) — so each ``[B, chunk]`` slice is rebuilt on the fly from the
-packed ``[B, T]`` target / ``[B, L]`` seen id arrays with two chunk-
-local scatters (an extra swallow column absorbs ids outside the chunk),
-used, and discarded in registers:
+Key observation: Y and Wt are the DEFAULT values (``default_target[j]``,
+``w_neg``) on all but the ~T+L special columns per example (targets:
+Y=1, Wt=-1; seen items when interactions are unique: both 0). So the
+loss splits exactly:
 
-- forward: ``lax.scan`` over column chunks accumulating the [B]
-  per-example loss; padded catalog columns are killed by an explicit
-  validity mask (NOT via Wt=0: the logsig loss maps weight 0 to log 2,
-  which would bias the reported cost);
-- backward (hand VJP): a second scan recomputes each chunk's
-  predictions and Y/Wt slices, gets the chunk's ``dpred`` from a
-  chunk-local ``jax.vjp`` of the elementwise loss (exact, no hand-coded
-  derivatives), and contracts immediately into ``dh``, the ``dW``
-  column slice and ``db`` — predictions never reach HBM.
+  loss = sum_j f(pred_j, default_j, w_neg)              # uniform part
+       + sum_{j in special} [f(pred_j, Y_j, Wt_j)
+                             - f(pred_j, default_j, w_neg)]  # correction
 
-``sharded_streaming_margin`` composes the op with a ("data", "model")
-mesh exactly like ``sharded_streaming_cce``, but simpler: the margin
-losses have no cross-column coupling (no softmax normalizer), so the
-only forward collective is a psum of the per-example loss partials over
-"model".
+- The UNIFORM part is the custom-VJP chunked scan (this module's
+  ``streaming_margin_uniform``): per column chunk one [B,chunk] matmul
+  + elementwise f, accumulated into a [B] carry; the backward recomputes
+  each chunk and contracts its dpred (chunk-local ``jax.vjp`` of the
+  elementwise loss — exact, no hand-coded derivatives) straight into
+  dh / the dW column slice / db. No [B, n_items] intermediate, and —
+  unlike a scatter-assembled Y/Wt — NO serialized per-id scatters in the
+  hot loop (a first implementation scattered Y/Wt per chunk and measured
+  2.3x SLOWER than the dense path on TPU; the decomposition removes
+  every scatter).
+- The CORRECTION touches T+L columns per example: one [B,K] column
+  gather + tiny matmul, built with plain jnp ops and differentiated by
+  ordinary autodiff (``margin_special_correction``). Duplicate ids and
+  the dense path's precedence (seen overrides target; scatters of a
+  constant are idempotent across duplicate slots) are reproduced with
+  explicit first-occurrence masks.
+
+``sharded_streaming_margin_uniform`` composes the uniform op with a
+("data", "model") mesh like ``sharded_streaming_cce``, but simpler: the
+margin losses have no cross-column coupling, so the only forward
+collective is a psum of the per-example partials over "model". The
+correction's sharded-W column gather is left to GSPMD (same pattern as
+the sampled loss's negative-column gather, mesh-parity-tested in
+tests/test_parallel.py).
 
 Math parity vs the dense path (all three losses, unique and non-unique,
-pad tails) is tested in tests/test_streaming_margin.py; mesh parity in
-tests/test_parallel.py.
+pad tails, duplicate ids) is tested in tests/test_streaming_margin.py;
+mesh parity in tests/test_parallel.py.
 
 Reference: /root/reference/neural_networks/rnn_margin.py:61-68 (losses),
 112-149 (Y/W assembly semantics).
@@ -57,25 +67,12 @@ from seqrec_tpu.ops.streaming_cce import _pad_cols, _vary, pick_chunk
 STREAMING_MARGIN_MIN_ITEMS = 16384
 
 
-def _chunk_yw(def_c1, tgt_ids, seen_ids, w_neg, c0, chunk, unique):
-    """[B, chunk+1] Y and Wt slices for columns [c0, c0+chunk); the
-    trailing swallow column absorbs out-of-chunk ids."""
-    B = tgt_ids.shape[0]
-    b_idx = jnp.arange(B)[:, None]
-    tl = jnp.where(
-        (tgt_ids >= c0) & (tgt_ids < c0 + chunk), tgt_ids - c0, chunk
-    )
-    Y = jnp.broadcast_to(def_c1, (B, chunk + 1))
-    Y = Y.at[b_idx, tl].set(1.0)
-    Wt = jnp.broadcast_to(w_neg[:, None], (B, chunk + 1))
-    Wt = Wt.at[b_idx, tl].set(-1.0)
-    if unique:
-        sl = jnp.where(
-            (seen_ids >= c0) & (seen_ids < c0 + chunk), seen_ids - c0, chunk
-        )
-        Y = Y.at[b_idx, sl].set(0.0)
-        Wt = Wt.at[b_idx, sl].set(0.0)
-    return Y[:, :chunk], Wt[:, :chunk]
+def _f_cols(loss_name, pred, Y, Wt):
+    """Per-COLUMN margin loss values [same shape as pred]: the dense
+    losses sum over their last axis, so a trailing singleton makes that
+    sum a no-op and yields the elementwise values."""
+    f = losses.MARGIN_LOSSES[loss_name]
+    return f(pred[..., None], Y[..., None], Wt[..., None])
 
 
 def _chunk_pred(h_c, Wp, bp, i, chunk, compute_dtype):
@@ -88,30 +85,26 @@ def _chunk_pred(h_c, Wp, bp, i, chunk, compute_dtype):
     )
 
 
-def _chunk_valid(i, chunk, n_valid):
-    """[chunk] float mask of real (non-pad) columns for chunk i."""
-    cols = i * chunk + jnp.arange(chunk, dtype=jnp.int32)
-    return (cols < n_valid).astype(jnp.float32)
+def _pad_default(default_target, Np):
+    return jnp.pad(default_target, (0, Np - default_target.shape[0]))
 
 
-def _loss_scan(
-    h_c, Wp, bp, defp1, tgt_ids, seen_ids, w_neg,
-    loss_name, unique, chunk, n_chunks, n_valid, compute_dtype, vma_axes=(),
+def _uniform_scan(
+    h_c, Wp, bp, defp, w_neg, loss_name, chunk, n_chunks, n_valid,
+    compute_dtype, vma_axes=(),
 ):
     B = h_c.shape[0]
-    f = losses.MARGIN_LOSSES[loss_name]
 
     def body(acc, i):
         pred, _ = _chunk_pred(h_c, Wp, bp, i, chunk, compute_dtype)
-        def_c1 = jax.lax.dynamic_slice_in_dim(defp1, i * chunk, chunk + 1, axis=0)
-        def_c1 = def_c1.at[-1].set(0.0)  # swallow column, any value
-        Y, Wt = _chunk_yw(def_c1, tgt_ids, seen_ids, w_neg, i * chunk, chunk, unique)
-        valid = _chunk_valid(i, chunk, n_valid)
-        # the dense losses sum over their LAST axis; feeding [B, chunk, 1]
-        # makes that sum a no-op and yields the [B, chunk] PER-COLUMN
-        # values, so pad columns can be masked on the value (not via
-        # Wt=0, which logsig maps to log 2) before the chunk sum
-        val = f(pred[..., None], Y[..., None], Wt[..., None])
+        def_c = jax.lax.dynamic_slice_in_dim(defp, i * chunk, chunk, axis=0)
+        cols = i * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        valid = (cols < n_valid).astype(jnp.float32)
+        val = _f_cols(
+            loss_name, pred, def_c[None, :], jnp.broadcast_to(w_neg[:, None], pred.shape)
+        )
+        # pad columns masked on the VALUE (not via Wt=0: logsig maps
+        # weight 0 to log 2, which would bias the reported cost)
         return acc + (val * valid[None, :]).sum(axis=1), None
 
     acc, _ = jax.lax.scan(
@@ -122,25 +115,25 @@ def _loss_scan(
     return acc
 
 
-def _margin_grad_scan(
-    h_c, Wp, bp, defp1, tgt_ids, seen_ids, w_neg, gcol,
-    loss_name, unique, chunk, n_chunks, n_valid, compute_dtype, vma_axes=(),
+def _uniform_grad_scan(
+    h_c, Wp, bp, defp, w_neg, gcol, loss_name, chunk, n_chunks, n_valid,
+    compute_dtype, vma_axes=(),
 ):
-    B, H = h_c.shape[0], Wp.shape[0]
+    H = Wp.shape[0]
     Np = n_chunks * chunk
-    f = losses.MARGIN_LOSSES[loss_name]
 
     def body(carry, i):
         dh, dW, db = carry
         pred, W_c = _chunk_pred(h_c, Wp, bp, i, chunk, compute_dtype)
-        def_c1 = jax.lax.dynamic_slice_in_dim(defp1, i * chunk, chunk + 1, axis=0)
-        def_c1 = def_c1.at[-1].set(0.0)
-        Y, Wt = _chunk_yw(def_c1, tgt_ids, seen_ids, w_neg, i * chunk, chunk, unique)
-        valid = _chunk_valid(i, chunk, n_valid)
+        def_c = jax.lax.dynamic_slice_in_dim(defp, i * chunk, chunk, axis=0)
+        cols = i * chunk + jnp.arange(chunk, dtype=jnp.int32)
+        valid = (cols < n_valid).astype(jnp.float32)
+        Wt = jnp.broadcast_to(w_neg[:, None], pred.shape)
 
         def chunk_loss(p):
-            val = f(p[..., None], Y[..., None], Wt[..., None])
-            return (val * valid[None, :]).sum(axis=1)
+            return (
+                _f_cols(loss_name, p, def_c[None, :], Wt) * valid[None, :]
+            ).sum(axis=1)
 
         _, pull = jax.vjp(chunk_loss, pred)
         (dpred,) = pull(gcol[:, 0])
@@ -169,123 +162,183 @@ def _margin_grad_scan(
     return dh, dW, db
 
 
-def _pad_default(default_target, n_chunks, chunk):
-    """default_target padded to Np + 1 so every chunk can slice
-    [i*chunk, i*chunk + chunk + 1) without going out of bounds."""
-    Np = n_chunks * chunk
-    return jnp.pad(default_target, (0, Np + 1 - default_target.shape[0]))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def streaming_margin_uniform(
+    h, W, b, w_neg, default_target,
+    loss_name: str, chunk: int = 1024, compute_dtype=jnp.float32,
+):
+    """[B] per-example uniform margin loss: every catalog column at its
+    default target/weight, no [B, n_items] materialization."""
+    loss, _ = _u_fwd(h, W, b, w_neg, default_target, loss_name, chunk, compute_dtype)
+    return loss
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _u_fwd(h, W, b, w_neg, default_target, loss_name, chunk, compute_dtype):
+    N = W.shape[1]
+    Wp, bp, n_chunks = _pad_cols(W, b, chunk)
+    defp = _pad_default(default_target, n_chunks * chunk)
+    loss = _uniform_scan(
+        h.astype(compute_dtype), Wp, bp, defp, w_neg,
+        loss_name, chunk, n_chunks, N, compute_dtype,
+    )
+    return loss, (h, W, b, w_neg, default_target)
+
+
+def _u_bwd(loss_name, chunk, compute_dtype, res, g):
+    h, W, b, w_neg, default_target = res
+    N = W.shape[1]
+    Wp, bp, n_chunks = _pad_cols(W, b, chunk)
+    defp = _pad_default(default_target, n_chunks * chunk)
+    dh, dW, db = _uniform_grad_scan(
+        h.astype(compute_dtype), Wp, bp, defp, w_neg, g[:, None],
+        loss_name, chunk, n_chunks, N, compute_dtype,
+    )
+    return (
+        dh.astype(h.dtype),
+        dW[:, :N].astype(W.dtype),
+        db[:N].astype(b.dtype),
+        None, None,
+    )
+
+
+streaming_margin_uniform.defvjp(
+    lambda h, W, b, wn, dt, ln, c, cd: _u_fwd(h, W, b, wn, dt, ln, c, cd),
+    _u_bwd,
+)
+
+
+# ----------------------------------------------------------------------
+# special-column correction (plain autodiff)
+# ----------------------------------------------------------------------
+def _first_occurrence(ids, valid):
+    """[B, K] mask: slot k is the first valid slot in its row with this
+    id (the dense scatter writes a CONSTANT per group, so duplicate
+    slots are idempotent — the correction must count each id once)."""
+    K = ids.shape[1]
+    same = ids[:, :, None] == ids[:, None, :]  # [B, K, K]
+    earlier = jnp.tril(jnp.ones((K, K), bool), k=-1)
+    dup = (same & earlier & valid[:, None, :]).any(axis=2)
+    return valid & ~dup
+
+
+def margin_special_correction(
+    h, W, b, tgt_ids, seen_ids, w_neg, default_target,
+    loss_name: str, unique: bool, n_items: int,
+):
+    """[B] correction moving the special columns from their default
+    (Y=default, Wt=w_neg) to their true values: targets (1, -1), seen
+    items (0, 0) when interactions are unique, with the dense path's
+    precedence (seen overrides target) and duplicate idempotence.
+
+    Plain jnp: one [B, K] column gather + tiny matmul; autodiff handles
+    the backward (a scatter-add of K columns into dW)."""
+    B, T = tgt_ids.shape
+    L = seen_ids.shape[1]
+
+    t_valid = (tgt_ids >= 0) & (tgt_ids < n_items)
+    s_valid = (seen_ids >= 0) & (seen_ids < n_items)
+    t_keep = _first_occurrence(tgt_ids, t_valid)
+    if unique:
+        s_keep = _first_occurrence(seen_ids, s_valid)
+        # seen overrides target: drop target slots whose id is seen
+        overridden = (
+            (tgt_ids[:, :, None] == seen_ids[:, None, :]) & s_valid[:, None, :]
+        ).any(axis=2)
+        t_keep = t_keep & ~overridden
+    else:
+        s_keep = jnp.zeros_like(s_valid)
+
+    ids = jnp.concatenate([tgt_ids, seen_ids], axis=1)  # [B, K]
+    keep = jnp.concatenate([t_keep, s_keep], axis=1)
+    safe = jnp.clip(ids, 0, n_items - 1)
+
+    # pred at the special columns: gather K columns of W (+ bias)
+    Wg = jnp.take(W, safe.reshape(-1), axis=1).reshape(
+        W.shape[0], B, T + L
+    )  # [H, B, K]
+    pred = jnp.einsum("bh,hbk->bk", h, Wg) + b[safe]
+
+    Yd = default_target[safe]
+    Wd = jnp.broadcast_to(w_neg[:, None], pred.shape)
+    f_def = _f_cols(loss_name, pred, Yd, Wd)
+
+    Yv = jnp.concatenate(
+        [jnp.ones((B, T), jnp.float32), jnp.zeros((B, L), jnp.float32)], axis=1
+    )
+    Wv = jnp.concatenate(
+        [jnp.full((B, T), -1.0, jnp.float32), jnp.zeros((B, L), jnp.float32)],
+        axis=1,
+    )
+    f_true = _f_cols(loss_name, pred, Yv, Wv)
+    return ((f_true - f_def) * keep).sum(axis=1)
+
+
+# ----------------------------------------------------------------------
+# public composition (dense-path signature)
+# ----------------------------------------------------------------------
 def streaming_margin(
     h, W, b, tgt_ids, seen_ids, w_neg, default_target,
     loss_name: str, unique: bool, chunk: int = 1024, compute_dtype=jnp.float32,
 ):
     """Per-example margin loss ``[B]`` — identical math to the dense
     ``MARGIN_LOSSES[loss_name](h@W+b, Y, Wt)`` with Y/Wt assembled from
-    the packed id arrays, but with no [B, n_items] materialization."""
-    loss, _ = _m_fwd(
+    the packed id arrays (out-of-range ids = padding), but with no
+    [B, n_items] materialization: uniform chunked scan + special-column
+    correction."""
+    uniform = streaming_margin_uniform(
+        h, W, b, w_neg, default_target, loss_name, chunk, compute_dtype
+    )
+    corr = margin_special_correction(
         h, W, b, tgt_ids, seen_ids, w_neg, default_target,
-        loss_name, unique, chunk, compute_dtype,
+        loss_name, unique, W.shape[1],
     )
-    return loss
-
-
-def _m_fwd(h, W, b, tgt_ids, seen_ids, w_neg, default_target,
-           loss_name, unique, chunk, compute_dtype):
-    N = W.shape[1]
-    Wp, bp, n_chunks = _pad_cols(W, b, chunk)
-    defp1 = _pad_default(default_target, n_chunks, chunk)
-    loss = _loss_scan(
-        h.astype(compute_dtype), Wp, bp, defp1, tgt_ids, seen_ids, w_neg,
-        loss_name, unique, chunk, n_chunks, N, compute_dtype,
-    )
-    return loss, (h, W, b, tgt_ids, seen_ids, w_neg, default_target)
-
-
-def _m_bwd(loss_name, unique, chunk, compute_dtype, res, g):
-    h, W, b, tgt_ids, seen_ids, w_neg, default_target = res
-    N = W.shape[1]
-    Wp, bp, n_chunks = _pad_cols(W, b, chunk)
-    defp1 = _pad_default(default_target, n_chunks, chunk)
-    dh, dW, db = _margin_grad_scan(
-        h.astype(compute_dtype), Wp, bp, defp1, tgt_ids, seen_ids, w_neg,
-        g[:, None], loss_name, unique, chunk, n_chunks, N, compute_dtype,
-    )
-    return (
-        dh.astype(h.dtype),
-        dW[:, :N].astype(W.dtype),
-        db[:N].astype(b.dtype),
-        None, None, None, None,
-    )
-
-
-streaming_margin.defvjp(
-    lambda h, W, b, t, s, wn, dt, ln, u, c, cd: _m_fwd(
-        h, W, b, t, s, wn, dt, ln, u, c, cd
-    ),
-    _m_bwd,
-)
+    return uniform + corr
 
 
 # ----------------------------------------------------------------------
 # mesh-sharded composition
 # ----------------------------------------------------------------------
-def sharded_streaming_margin(
-    h, W, b, tgt_ids, seen_ids, w_neg, default_target, mesh,
-    loss_name: str, unique: bool, chunk: int | None = None,
-    compute_dtype=jnp.float32,
+def sharded_streaming_margin_uniform(
+    h, W, b, w_neg, default_target, mesh,
+    loss_name: str, chunk: int | None = None, compute_dtype=jnp.float32,
 ):
-    """``streaming_margin`` over a ("data", "model") mesh: W column-
-    sharded, b and default_target sharded over "model", h and the id
-    arrays data-sharded. Each model shard scans its local columns with
-    ids shifted by its column offset; per-example loss partials psum
-    over "model" (the margin losses are column-separable sums)."""
+    """``streaming_margin_uniform`` over a ("data", "model") mesh: W
+    column-sharded, b/default_target over "model", h/w_neg data-sharded.
+    Per-example loss partials psum over "model" (the margin losses are
+    column-separable sums)."""
     n_model = mesh.shape["model"]
     N = W.shape[1]
     if N % n_model:
         raise ValueError(
             f"catalog {N} does not divide the model axis ({n_model}); "
-            "use streaming_margin with a replicated W instead"
+            "use streaming_margin_uniform with a replicated W instead"
         )
     if chunk is None:
         chunk = pick_chunk(N // n_model)
-    return _sharded_margin(
-        h, W, b, tgt_ids, seen_ids, w_neg, default_target, mesh,
-        loss_name, unique, chunk, compute_dtype,
+    return _sharded_uniform(
+        h, W, b, w_neg, default_target, mesh, loss_name, chunk, compute_dtype
     )
 
 
-def _shift_ids(ids, col0, N_local):
-    """Shard-relative ids; out-of-shard ids map to -1 (never matches a
-    chunk window, so the swallow column absorbs them)."""
-    rel = ids - col0
-    return jnp.where((rel >= 0) & (rel < N_local), rel, -1)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
-def _sharded_margin(h, W, b, tgt_ids, seen_ids, w_neg, default_target,
-                    mesh, loss_name, unique, chunk, compute_dtype):
-    loss, _ = _shm_fwd(
-        h, W, b, tgt_ids, seen_ids, w_neg, default_target, mesh,
-        loss_name, unique, chunk, compute_dtype,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _sharded_uniform(h, W, b, w_neg, default_target, mesh,
+                     loss_name, chunk, compute_dtype):
+    loss, _ = _shu_fwd(
+        h, W, b, w_neg, default_target, mesh, loss_name, chunk, compute_dtype
     )
     return loss
 
 
-def _shm_fwd(h, W, b, tgt_ids, seen_ids, w_neg, default_target, mesh,
-             loss_name, unique, chunk, compute_dtype):
+def _shu_fwd(h, W, b, w_neg, default_target, mesh, loss_name, chunk, compute_dtype):
     from jax.sharding import PartitionSpec as P
 
-    def local(h_l, W_l, b_l, t_l, s_l, wn_l, d_l):
+    def local(h_l, W_l, b_l, wn_l, d_l):
         N_local = W_l.shape[1]
-        col0 = jax.lax.axis_index("model").astype(jnp.int32) * N_local
         Wp, bp, n_chunks = _pad_cols(W_l, b_l, chunk)
-        defp1 = _pad_default(d_l, n_chunks, chunk)
-        part = _loss_scan(
-            h_l.astype(compute_dtype), Wp, bp, defp1,
-            _shift_ids(t_l, col0, N_local), _shift_ids(s_l, col0, N_local),
-            wn_l, loss_name, unique, chunk, n_chunks, N_local, compute_dtype,
+        defp = _pad_default(d_l, n_chunks * chunk)
+        part = _uniform_scan(
+            h_l.astype(compute_dtype), Wp, bp, defp, wn_l,
+            loss_name, chunk, n_chunks, N_local, compute_dtype,
             vma_axes=("data", "model"),
         )
         return jax.lax.psum(part, "model")
@@ -294,34 +347,31 @@ def _shm_fwd(h, W, b, tgt_ids, seen_ids, w_neg, default_target, mesh,
         local,
         mesh=mesh,
         in_specs=(
-            P("data", None), P(None, "model"), P("model"),
-            P("data", None), P("data", None), P("data"), P("model"),
+            P("data", None), P(None, "model"), P("model"), P("data"), P("model"),
         ),
         out_specs=P("data"),
     )
-    loss = run(h, W, b, tgt_ids, seen_ids, w_neg, default_target)
-    return loss, (h, W, b, tgt_ids, seen_ids, w_neg, default_target)
+    loss = run(h, W, b, w_neg, default_target)
+    return loss, (h, W, b, w_neg, default_target)
 
 
-def _shm_bwd(mesh, loss_name, unique, chunk, compute_dtype, res, g):
+def _shu_bwd(mesh, loss_name, chunk, compute_dtype, res, g):
     from jax.sharding import PartitionSpec as P
 
-    h, W, b, tgt_ids, seen_ids, w_neg, default_target = res
+    h, W, b, w_neg, default_target = res
 
-    def local(h_l, W_l, b_l, t_l, s_l, wn_l, d_l, g_l):
+    def local(h_l, W_l, b_l, wn_l, d_l, g_l):
         N_local = W_l.shape[1]
-        col0 = jax.lax.axis_index("model").astype(jnp.int32) * N_local
         # the chunk-local jax.vjp pullback type-checks the cotangent's
         # varying-manual-axes against the chunk output (which varies
         # over "model" through W); promote g explicitly
         g_l = jax.lax.pcast(g_l, "model", to="varying")
         Wp, bp, n_chunks = _pad_cols(W_l, b_l, chunk)
-        defp1 = _pad_default(d_l, n_chunks, chunk)
-        dh_p, dWp, dbp = _margin_grad_scan(
-            h_l.astype(compute_dtype), Wp, bp, defp1,
-            _shift_ids(t_l, col0, N_local), _shift_ids(s_l, col0, N_local),
-            wn_l, g_l[:, None], loss_name, unique, chunk, n_chunks, N_local,
-            compute_dtype, vma_axes=("data", "model"),
+        defp = _pad_default(d_l, n_chunks * chunk)
+        dh_p, dWp, dbp = _uniform_grad_scan(
+            h_l.astype(compute_dtype), Wp, bp, defp, wn_l, g_l[:, None],
+            loss_name, chunk, n_chunks, N_local, compute_dtype,
+            vma_axes=("data", "model"),
         )
         dh = jax.lax.psum(dh_p, "model")
         dW = jax.lax.psum(dWp[:, :N_local], "data")
@@ -332,22 +382,39 @@ def _shm_bwd(mesh, loss_name, unique, chunk, compute_dtype, res, g):
         local,
         mesh=mesh,
         in_specs=(
-            P("data", None), P(None, "model"), P("model"),
-            P("data", None), P("data", None), P("data"), P("model"),
+            P("data", None), P(None, "model"), P("model"), P("data"), P("model"),
             P("data"),
         ),
         out_specs=(P("data", None), P(None, "model"), P("model")),
     )
-    dh, dW, db = run(h, W, b, tgt_ids, seen_ids, w_neg, default_target, g)
+    dh, dW, db = run(h, W, b, w_neg, default_target, g)
     return (
         dh.astype(h.dtype), dW.astype(W.dtype), db.astype(b.dtype),
-        None, None, None, None,
+        None, None,
     )
 
 
-_sharded_margin.defvjp(
-    lambda h, W, b, t, s, wn, dt, mesh, ln, u, c, cd: _shm_fwd(
-        h, W, b, t, s, wn, dt, mesh, ln, u, c, cd
+_sharded_uniform.defvjp(
+    lambda h, W, b, wn, dt, mesh, ln, c, cd: _shu_fwd(
+        h, W, b, wn, dt, mesh, ln, c, cd
     ),
-    _shm_bwd,
+    _shu_bwd,
 )
+
+
+def sharded_streaming_margin(
+    h, W, b, tgt_ids, seen_ids, w_neg, default_target, mesh,
+    loss_name: str, unique: bool, chunk: int | None = None,
+    compute_dtype=jnp.float32,
+):
+    """Sharded uniform scan + the special-column correction (the
+    correction's K-column gather from the sharded W is left to GSPMD —
+    the same access pattern as the sampled loss's negative columns)."""
+    uniform = sharded_streaming_margin_uniform(
+        h, W, b, w_neg, default_target, mesh, loss_name, chunk, compute_dtype
+    )
+    corr = margin_special_correction(
+        h, W, b, tgt_ids, seen_ids, w_neg, default_target,
+        loss_name, unique, W.shape[1],
+    )
+    return uniform + corr

@@ -113,3 +113,43 @@ def test_streaming_margin_model_loss_parity(synthetic_handler, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-6, err_msg=str(pa)
         )
+
+
+@pytest.mark.parametrize("loss_name", ["hinge", "logsig"])
+@pytest.mark.parametrize("unique", [True, False])
+def test_streaming_margin_duplicate_and_override_ids(loss_name, unique):
+    """The uniform+correction decomposition must reproduce the dense
+    scatter's idempotence (duplicate ids write a constant once) and
+    precedence (seen overrides target) exactly."""
+    h, W, b, _, _, w_neg, dt = _mk(seed=3, B=6, N=400, T=3, L=5)
+    N = 400
+    tgt = np.array(
+        [[5, 5, 17], [10, 11, 10], [N, N, 3], [7, 8, 9], [50, 50, 50], [0, 1, 2]],
+        dtype=np.int32,
+    )
+    seen = np.array(
+        [
+            [5, 30, 31, 32, N],    # target 5 also seen -> override
+            [10, 10, 40, N, N],    # duplicate seen + overrides target 10
+            [3, 3, 3, 3, 3],       # target 3 seen, seen all duplicates
+            [60, 61, 62, 63, 64],
+            [50, N, N, N, N],      # triple-dup target also seen
+            [70, 71, 72, 73, 74],
+        ],
+        dtype=np.int32,
+    )
+    tgt, seen = jnp.asarray(tgt), jnp.asarray(seen)
+
+    def dense(h, W, b):
+        return _dense_oracle(h, W, b, tgt, seen, w_neg, dt, loss_name, unique).sum()
+
+    def stream(h, W, b):
+        return streaming_margin(
+            h, W, b, tgt, seen, w_neg, dt, loss_name, unique, 128
+        ).sum()
+
+    l_d, g_d = jax.value_and_grad(dense, argnums=(0, 1, 2))(h, W, b)
+    l_s, g_s = jax.jit(jax.value_and_grad(stream, argnums=(0, 1, 2)))(h, W, b)
+    assert np.isclose(float(l_d), float(l_s), rtol=1e-5), (float(l_d), float(l_s))
+    for a, c in zip(g_d, g_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-6)
