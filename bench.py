@@ -558,9 +558,10 @@ def load_or_run_matrix(force: bool = False):
             return json.load(f)
     result = {
         "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
-        "protocol": "e2e index-wire training loop, B=1024, K=32, L=30, "
-        "3 windows of 2 fused dispatches each (median), device-only from "
-        "xplane trace; MFU vs dtype peak (197/98.5 TFLOP/s bf16/f32, v5e)",
+        "protocol": "e2e index-wire training loop, K=32, 3 windows of 2 "
+        "fused dispatches each (median), device-only from xplane trace; "
+        "B=1024, L=30, GRU, adam, CCE unless the row key says otherwise; "
+        "MFU vs dtype peak (197/98.5 TFLOP/s bf16/f32, v5e)",
         "rows": run_matrix(),
     }
     with open(_MATRIX_CACHE, "w") as f:
