@@ -13,25 +13,37 @@ def main():
         data = json.load(f)
     print(f"measured_at: {data['measured_at']}")
     print()
-    print("| tower | H | catalog | B | dtype | opt | loss | e2e seq/s | device-only | MFU | Pallas train |")
-    print("|---|---|---|---|---|---|---|---|---|---|---|")
+    print("| tower | H | catalog | B | L | loss family | dtype | opt | head | mesh | e2e seq/s | device-only | MFU | Pallas train |")
+    print("|---|---|---|---|---|---|---|---|---|---|---|---|---|---|")
     for r in data["rows"]:
+        fam = r.get("family", "CCE").upper() if r.get("family") else "CCE"
+        L = r.get("L", 30)
+        mesh = r.get("mesh", "—")
         if r.get("error"):
             print(
                 f"| {r['tower']} | {r['H']} | {r['catalog']//1000}k | {r['B']} "
-                f"| {r['dtype']} | {r['opt']} | — | {r['error']} | | | |"
+                f"| {L} | {fam} | {r['dtype']} | {r['opt']} | — | {mesh} "
+                f"| {r['error']} | | | |"
             )
             continue
-        loss = "stream" if r.get("streaming_cce") else "dense"
-        if r.get("no_stream"):
-            loss = "dense (ctl)"
+        if r.get("family") == "margin":
+            loss = "stream" if r.get("streaming_margin") else "dense (ctl)"
+        elif r.get("family") == "bpr":
+            loss = "S=256"
+        else:
+            loss = "stream" if r.get("streaming_cce") else "dense"
+            if r.get("no_stream"):
+                loss = "dense (ctl)"
         opt = r["opt"].replace("adam_bf16m", "adam/bf16m")
+        if r.get("emb"):
+            opt += f"+emb{r['emb']}"
         pal = "on" if r.get("pallas_train") else "off"
         if r.get("no_pallas"):
             pal = "off (ctl)"
         print(
             f"| {r['tower']} | {r['H']} | {r['catalog']//1000}k | {r['B']} "
-            f"| {r['dtype']} | {opt} | {loss} | {r['e2e_seq_per_s']/1000:.1f}k "
+            f"| {L} | {fam} | {r['dtype']} | {opt} | {loss} | {mesh} "
+            f"| {r['e2e_seq_per_s']/1000:.1f}k "
             f"| {(r['device_only'] or 0)/1000:.1f}k | {r['mfu_pct']}% | {pal} |"
         )
 
