@@ -172,10 +172,44 @@ def _target_logit(h_c, W, b, targets, compute_dtype, n_valid=None):
     return tl
 
 
+def _kernel_engages(B: int, H: int, compute_dtype) -> bool:
+    """Whether the fused Pallas streaming-CCE kernels run for this
+    shape: TPU backend, f32 compute, lane-aligned H, and the backward's
+    VMEM-resident dh block fits. The XLA chunk scan is the fallback
+    everywhere else (and inside shard_map — the sharded op keeps the
+    scan). Currently OPT-IN (SEQREC_PALLAS_STREAMING=1) pending
+    real-chip win/loss measurement."""
+    import os
+
+    if not os.environ.get("SEQREC_PALLAS_STREAMING"):
+        return False
+    if os.environ.get("SEQREC_NO_PALLAS"):
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:  # pragma: no cover - backend init failure
+        return False
+    from seqrec_tpu.ops.pallas_streaming_cce import fits_vmem
+
+    return (
+        compute_dtype in (jnp.float32, "float32")
+        and H % 128 == 0
+        and fits_vmem(B, H)
+    )
+
+
 def _fwd(h, W, b, targets, chunk, compute_dtype):
-    Wp, bp, n_chunks = _pad_cols(W, b, chunk)
     h_c = h.astype(compute_dtype)
-    m, s = _stats_scan(h_c, Wp, bp, chunk, n_chunks, compute_dtype)
+    B, H = h.shape
+    if _kernel_engages(B, H, compute_dtype):
+        from seqrec_tpu.ops.pallas_streaming_cce import CHUNK_C, stats_pallas
+
+        Wp, bp, _ = _pad_cols(W, b, CHUNK_C)
+        m, s = stats_pallas(h_c, Wp, bp)
+    else:
+        Wp, bp, n_chunks = _pad_cols(W, b, chunk)
+        m, s = _stats_scan(h_c, Wp, bp, chunk, n_chunks, compute_dtype)
     tl = _target_logit(h_c, W, b, targets, compute_dtype)
     loss = jnp.log(s) + m - tl
     # residuals: the [B]-sized softmax stats — NOT the logits
@@ -240,13 +274,22 @@ def _grad_scan(
 
 def _bwd(chunk, compute_dtype, res, g):
     h, W, b, targets, m, s = res
+    B, H = h.shape
     N = W.shape[1]
-    Wp, bp, n_chunks = _pad_cols(W, b, chunk)
-    logz = (m + jnp.log(s))[:, None]  # [B, 1]
-    dh, dW, db = _grad_scan(
-        h.astype(compute_dtype), Wp, bp, targets, logz, g[:, None],
-        chunk, n_chunks, compute_dtype,
-    )
+    logz = m + jnp.log(s)
+    if _kernel_engages(B, H, compute_dtype):
+        from seqrec_tpu.ops.pallas_streaming_cce import CHUNK_C, grads_pallas
+
+        Wp, bp, _ = _pad_cols(W, b, CHUNK_C)
+        dh, dW, db = grads_pallas(
+            h.astype(compute_dtype), Wp, bp, targets, logz, g
+        )
+    else:
+        Wp, bp, n_chunks = _pad_cols(W, b, chunk)
+        dh, dW, db = _grad_scan(
+            h.astype(compute_dtype), Wp, bp, targets, logz[:, None],
+            g[:, None], chunk, n_chunks, compute_dtype,
+        )
     return (
         dh.astype(h.dtype),
         dW[:, :N].astype(W.dtype),
