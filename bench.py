@@ -897,9 +897,10 @@ def main():
     matrix = None if (args.quick or args.no_matrix) else load_or_run_matrix()
     matrix_summary = None
     if matrix:
-        best = max(matrix, key=lambda r: r.get("mfu_pct") or 0.0)
+        rows = matrix["rows"] if isinstance(matrix, dict) else matrix
+        best = max(rows, key=lambda r: r.get("mfu_pct") or 0.0)
         matrix_summary = {
-            "rows": len(matrix),
+            "rows": len(rows),
             "artifact": "bench_matrix.json",
             "ceiling_key": best["key"],
             "ceiling_seq_per_s": best["e2e_seq_per_s"],
