@@ -459,6 +459,14 @@ def matrix_configs():
                 "opt": opt, "family": "margin", "no_stream_margin": True,
             }
         )
+    # margin + the emb128 input lever (the margin trace shows the same
+    # one-hot W_in gather/scatter bound as CCE: 25.8 ms of an 87 ms step)
+    rows.append(
+        {
+            "H": 256, "catalog": 200_000, "dtype": "f32", "B": 8192,
+            "opt": "adagrad", "emb": 128, "family": "margin",
+        }
+    )
     # (3) sampled-loss refresh with the round-4 levers (the only prior
     # number, 68k, predates remat / batch scaling / adagrad)
     rows.append(

@@ -134,6 +134,7 @@ def main():
     ap.add_argument("--H", type=int, default=256)
     ap.add_argument("--catalog", type=int, default=200_000)
     ap.add_argument("--K", type=int, default=32)
+    ap.add_argument("--family", default="cce")
     args = ap.parse_args()
 
     from bench import _USERS, _ensure_matrix_dataset, make_model
@@ -145,14 +146,14 @@ def main():
     model = make_model(
         args.B, hidden=args.H, n_items=handler.n_items,
         compute_dtype=args.dtype, device_init=True, opt=args.opt,
-        emb=args.emb,
+        emb=args.emb, family=args.family,
     )
     events = device_op_events(model, handler, args.K)
     with open("/tmp/ceiling_trace_events.json", "w") as f:
         json.dump(events, f)
     label = (
         f"H={args.H} catalog={args.catalog} B={args.B} opt={args.opt} "
-        f"emb={args.emb} {args.dtype}"
+        f"emb={args.emb} {args.dtype} {args.family}"
     )
     global TRACK
     for track in ("XLA Ops", "Framework Ops"):

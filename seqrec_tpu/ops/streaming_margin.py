@@ -252,11 +252,19 @@ def margin_special_correction(
     keep = jnp.concatenate([t_keep, s_keep], axis=1)
     safe = jnp.clip(ids, 0, n_items - 1)
 
-    # pred at the special columns: gather K columns of W (+ bias)
-    Wg = jnp.take(W, safe.reshape(-1), axis=1).reshape(
-        W.shape[0], B, T + L
-    )  # [H, B, K]
-    pred = jnp.einsum("bh,hbk->bk", h, Wg) + b[safe]
+    # pred at the special columns: ROW-gather from W^T (sublane-dim
+    # rows — a direct column gather of [H, N] walks the lane dimension
+    # and measured 3.6 ms/step at B=8192/K=31, with the einsum's
+    # mul-reduce layout adding ~13 ms more; the [B, K, H] row layout
+    # feeds a batched dot_general instead) + bias
+    Wg = W.T[safe]  # [B, K, H]
+    pred = (
+        jax.lax.dot_general(
+            Wg, h, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        + b[safe]
+    )
 
     Yd = default_target[safe]
     Wd = jnp.broadcast_to(w_neg[:, None], pred.shape)
