@@ -634,15 +634,21 @@ def run_matrix(windows: int = 3, n_dispatch: int = 2):
     # measured under the same protocol are NOT re-paid — only configs
     # not yet in bench_matrix.json run live (each costs a 230-580 s
     # tunnel compile). Delete bench_matrix.json to force a full re-run.
+    # error rows are NOT reused: a transient failure (tunnel/compile-
+    # server 500) must re-measure on the next invocation rather than
+    # freeze into the artifact; genuinely infeasible control rows just
+    # re-verify their failure (one compile attempt)
     if os.path.isfile(_MATRIX_CACHE):
         with open(_MATRIX_CACHE) as f:
             for row in json.load(f).get("rows", []):
-                done[row.get("key") or _row_key(row)] = row
+                if not row.get("error"):
+                    done[row.get("key") or _row_key(row)] = row
     if os.path.isfile(partial):
         with open(partial) as f:
             for line in f:
                 row = json.loads(line)
-                done[row.get("key") or _row_key(row)] = row
+                if not row.get("error"):
+                    done[row.get("key") or _row_key(row)] = row
 
     rows = []
     handlers: dict = {}
@@ -906,14 +912,15 @@ def main():
     matrix_summary = None
     if matrix:
         rows = matrix["rows"] if isinstance(matrix, dict) else matrix
-        best = max(rows, key=lambda r: r.get("mfu_pct") or 0.0)
-        matrix_summary = {
-            "rows": len(rows),
-            "artifact": "bench_matrix.json",
-            "ceiling_key": best["key"],
-            "ceiling_seq_per_s": best["e2e_seq_per_s"],
-            "ceiling_mfu_pct": best["mfu_pct"],
-        }
+        ok_rows = [r for r in rows if r.get("mfu_pct") is not None]
+        matrix_summary = {"rows": len(rows), "artifact": "bench_matrix.json"}
+        if ok_rows:
+            best = max(ok_rows, key=lambda r: r["mfu_pct"])
+            matrix_summary.update(
+                ceiling_key=best["key"],
+                ceiling_seq_per_s=best["e2e_seq_per_s"],
+                ceiling_mfu_pct=best["mfu_pct"],
+            )
 
     print(
         json.dumps(

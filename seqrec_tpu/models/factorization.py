@@ -202,7 +202,22 @@ class MFBase:
             return False
         return self.mesh is not None or self.n_items >= self.DEVICE_TOPK_MIN_ITEMS
 
+    # eval rows scored per device call: bounds the [chunk, n_items]
+    # score block (~800 MB at 200k items / f32) regardless of how many
+    # validation/test users the caller packs into one top_k_batch call
+    _DEVICE_TOPK_ROW_CHUNK = 1024
+
     def _device_topk_batch(self, user_ids, seqs, k):
+        n = len(seqs)
+        C = self._DEVICE_TOPK_ROW_CHUNK
+        if n > C:
+            import numpy as _np
+
+            parts = [
+                self._device_topk_batch(user_ids[i : i + C], seqs[i : i + C], k)
+                for i in range(0, n, C)
+            ]
+            return None if any(p is None for p in parts) else _np.concatenate(parts)
         import jax.numpy as jnp
 
         rep = self._rep_rows(user_ids, seqs)

@@ -59,7 +59,12 @@ import jax
 import jax.numpy as jnp
 
 from seqrec_tpu.ops import losses
-from seqrec_tpu.ops.streaming_cce import _pad_cols, _vary, pick_chunk
+from seqrec_tpu.ops.streaming_cce import (
+    _chunk_logits as _chunk_pred,  # ([B,chunk] preds, [H,chunk] W slice)
+    _pad_cols,
+    _vary,
+    pick_chunk,
+)
 
 # same routing threshold as the CCE head: below it the [B, N] dense
 # intermediates fit in cache-sized working sets and the single fused
@@ -73,16 +78,6 @@ def _f_cols(loss_name, pred, Y, Wt):
     sum a no-op and yields the elementwise values."""
     f = losses.MARGIN_LOSSES[loss_name]
     return f(pred[..., None], Y[..., None], Wt[..., None])
-
-
-def _chunk_pred(h_c, Wp, bp, i, chunk, compute_dtype):
-    W_c = jax.lax.dynamic_slice_in_dim(Wp, i * chunk, chunk, axis=1)
-    b_c = jax.lax.dynamic_slice_in_dim(bp, i * chunk, chunk, axis=0)
-    return (
-        jnp.dot(h_c, W_c.astype(compute_dtype), preferred_element_type=jnp.float32)
-        + b_c,
-        W_c,
-    )
 
 
 def _pad_default(default_target, Np):
@@ -223,7 +218,7 @@ def _first_occurrence(ids, valid):
 
 def margin_special_correction(
     h, W, b, tgt_ids, seen_ids, w_neg, default_target,
-    loss_name: str, unique: bool, n_items: int,
+    loss_name: str, unique: bool, n_items: int, compute_dtype=jnp.float32,
 ):
     """[B] correction moving the special columns from their default
     (Y=default, Wt=w_neg) to their true values: targets (1, -1), seen
@@ -257,10 +252,13 @@ def margin_special_correction(
     # and measured 3.6 ms/step at B=8192/K=31, with the einsum's
     # mul-reduce layout adding ~13 ms more; the [B, K, H] row layout
     # feeds a batched dot_general instead) + bias
-    Wg = W.T[safe]  # [B, K, H]
+    # same compute dtype as the uniform scan's chunk matmuls: the
+    # decomposition subtracts the default-valued term the scan added,
+    # so both predictions must be computed at the same precision
+    Wg = W.T[safe].astype(compute_dtype)  # [B, K, H]
     pred = (
         jax.lax.dot_general(
-            Wg, h, (((2,), (1,)), ((0,), (0,))),
+            Wg, h.astype(compute_dtype), (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         + b[safe]
@@ -298,7 +296,7 @@ def streaming_margin(
     )
     corr = margin_special_correction(
         h, W, b, tgt_ids, seen_ids, w_neg, default_target,
-        loss_name, unique, W.shape[1],
+        loss_name, unique, W.shape[1], compute_dtype,
     )
     return uniform + corr
 
@@ -423,6 +421,6 @@ def sharded_streaming_margin(
     )
     corr = margin_special_correction(
         h, W, b, tgt_ids, seen_ids, w_neg, default_target,
-        loss_name, unique, W.shape[1],
+        loss_name, unique, W.shape[1], compute_dtype,
     )
     return uniform + corr

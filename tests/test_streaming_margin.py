@@ -153,3 +153,23 @@ def test_streaming_margin_duplicate_and_override_ids(loss_name, unique):
     assert np.isclose(float(l_d), float(l_s), rtol=1e-5), (float(l_d), float(l_s))
     for a, c in zip(g_d, g_s):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-4, atol=1e-6)
+
+
+def test_streaming_margin_bf16_compute_dtype():
+    """Under bf16 compute the correction must evaluate its predictions
+    at the SAME precision as the uniform scan so the default-valued
+    term cancels (bf16-level tolerance — the two dot orders differ)."""
+    h, W, b, tgt, seen, w_neg, dt = _mk(seed=5)
+
+    dense = _dense_oracle(
+        h.astype(jnp.bfloat16).astype(jnp.float32),
+        W.astype(jnp.bfloat16).astype(jnp.float32), b, tgt, seen, w_neg,
+        dt, "hinge", True,
+    ).sum()
+    stream = streaming_margin(
+        h, W, b, tgt, seen, w_neg, dt, "hinge", True, 250,
+        compute_dtype=jnp.bfloat16,
+    ).sum()
+    # bf16 mantissa ~3 decimal digits; the check is that the special
+    # columns don't carry an f32-vs-bf16 mismatch (was ~1e-4 relative)
+    assert np.isclose(float(dense), float(stream), rtol=2e-2)
