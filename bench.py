@@ -110,18 +110,29 @@ def make_model(
         model = RNNMargin(loss_function="hinge", **common)
     elif family == "bpr":
         model = RNNSampling(loss_function="BPR", sampling=sampling, **common)
+    elif family == "cluster":
+        from seqrec_tpu.models.cluster import RNNCluster
+
+        model = RNNCluster(
+            n_clusters=10, loss="Blackout", sampling=sampling, **common
+        )
     else:
         raise ValueError(family)
     model._prepare_networks(n_items)
     if device_init:
-        model.params = _device_init_params(hidden, n_items, tower, emb)
+        model.params = _device_init_params(
+            hidden, n_items, tower, emb,
+            n_clusters=10 if family == "cluster" else 0,
+        )
     else:
         model.params = model._init_params()
     model._build_functions()
     return model
 
 
-def _device_init_params(H: int, N: int, tower: str = "GRU", emb: int = 0):
+def _device_init_params(
+    H: int, N: int, tower: str = "GRU", emb: int = 0, n_clusters: int = 0
+):
     """Flagship CCE parameter pytree initialized ON DEVICE.
 
     The host-side `_init_params` + transfer costs minutes through the
@@ -136,7 +147,7 @@ def _device_init_params(H: int, N: int, tower: str = "GRU", emb: int = 0):
     G = 4 if tower == "LSTM" else 3
 
     def init(key):
-        ks = jax.random.split(key, 8)
+        ks = jax.random.split(key, 10)
         limit = (6.0 / (H + N)) ** 0.5
         in_dim = emb if emb else N
         layer = {
@@ -155,13 +166,22 @@ def _device_init_params(H: int, N: int, tower: str = "GRU", emb: int = 0):
             tower_tree["embedding"] = 0.1 * jax.random.normal(
                 ks[6], (N, emb), jnp.float32
             )
-        return {
+        params = {
             "tower": tower_tree,
             "W_out": jax.random.uniform(
                 ks[2], (H, N), jnp.float32, -limit, limit
             ),
             "b_out": jnp.zeros((N,), jnp.float32),
         }
+        if n_clusters:
+            limit_cs = (6.0 / (H + n_clusters)) ** 0.5
+            params["W_cs"] = jax.random.uniform(
+                ks[8], (H, n_clusters), jnp.float32, -limit_cs, limit_cs
+            )
+            params["cluster_repartition"] = 0.1 * jax.random.normal(
+                ks[9], (N, n_clusters), jnp.float32
+            )
+        return params
 
     return jax.jit(init)(jax.random.PRNGKey(0))
 
@@ -304,7 +324,7 @@ def flops_per_sequence(
     head scores only the B targets + S shared negatives
     (2·H·(B+S) per example — rnn_sampling.py's [B,H]x[H,B+S] matmul)."""
     G = 4 if tower == "LSTM" else 3
-    head = 2 * H * (B + S) if family == "bpr" else 2 * H * N
+    head = 2 * H * (B + S) if family in ("bpr", "cluster") else 2 * H * N
     fwd = 2 * H * (G * H) * L + head  # time scan + output head
     return 3.0 * fwd  # backward ~2x forward
 
@@ -482,6 +502,18 @@ def matrix_configs():
         {
             "H": 256, "catalog": 200_000, "dtype": "f32", "B": 8192,
             "opt": "adagrad", "emb": 128, "family": "bpr",
+        }
+    )
+    # cluster family (Blackout over shared negatives + the soft cluster
+    # membership machinery) — completes loss-family coverage at the
+    # MXU shape
+    rows.append(
+        {"H": 256, "catalog": 200_000, "dtype": "f32", "B": 1024, "family": "cluster"}
+    )
+    rows.append(
+        {
+            "H": 256, "catalog": 200_000, "dtype": "f32", "B": 8192,
+            "opt": "adagrad", "emb": 128, "family": "cluster",
         }
     )
     # (4) sequence-length axis: the reference's code default is

@@ -28,7 +28,7 @@ def main():
             continue
         if r.get("family") == "margin":
             loss = "stream" if r.get("streaming_margin") else "dense (ctl)"
-        elif r.get("family") == "bpr":
+        elif r.get("family") in ("bpr", "cluster"):
             loss = "S=256"
         else:
             loss = "stream" if r.get("streaming_cce") else "dense"
