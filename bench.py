@@ -504,6 +504,14 @@ def matrix_configs():
             "opt": "adagrad", "emb": 128, "family": "bpr",
         }
     )
+    # sharded streaming margin through the full GSPMD step on one chip
+    # (the CCE mesh rows' counterpart for the margin head)
+    rows.append(
+        {
+            "H": 256, "catalog": 200_000, "dtype": "f32", "B": 8192,
+            "opt": "adagrad", "emb": 128, "family": "margin", "mesh": "1x1",
+        }
+    )
     # cluster family (Blackout over shared negatives + the soft cluster
     # membership machinery) — completes loss-family coverage at the
     # MXU shape
