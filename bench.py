@@ -477,6 +477,10 @@ def matrix_configs():
             {
                 "H": 256, "catalog": 200_000, "dtype": "f32", "B": B,
                 "opt": opt, "family": "margin", "no_stream_margin": True,
+                # the B=8192 dense control is infeasible BY DESIGN
+                # (~20 GB of [B, n_items] intermediates); its error row
+                # is reusable evidence, not a transient failure
+                "expect_infeasible": B == 8192,
             }
         )
     # margin + the emb128 input lever (the margin trace shows the same
@@ -545,6 +549,12 @@ def matrix_configs():
         {
             "H": 256, "catalog": 200_000, "dtype": "f32", "B": 2048,
             "opt": "adagrad", "L": 200, "dataset": "long",
+        }
+    )
+    rows.append(
+        {
+            "H": 256, "catalog": 200_000, "dtype": "f32", "B": 4096,
+            "opt": "adagrad", "emb": 128, "L": 200, "dataset": "long",
         }
     )
     rows.append(
@@ -674,20 +684,28 @@ def run_matrix(windows: int = 3, n_dispatch: int = 2):
     # measured under the same protocol are NOT re-paid — only configs
     # not yet in bench_matrix.json run live (each costs a 230-580 s
     # tunnel compile). Delete bench_matrix.json to force a full re-run.
-    # error rows are NOT reused: a transient failure (tunnel/compile-
+    # error rows are NOT reused — a transient failure (tunnel/compile-
     # server 500) must re-measure on the next invocation rather than
-    # freeze into the artifact; genuinely infeasible control rows just
-    # re-verify their failure (one compile attempt)
+    # freeze into the artifact — EXCEPT for configs marked
+    # expect_infeasible, whose error row is the deliberate result
+    infeasible_keys = {
+        _row_key(c) for c in matrix_configs() if c.get("expect_infeasible")
+    }
+
+    def _reusable(row):
+        key = row.get("key") or _row_key(row)
+        return not row.get("error") or key in infeasible_keys
+
     if os.path.isfile(_MATRIX_CACHE):
         with open(_MATRIX_CACHE) as f:
             for row in json.load(f).get("rows", []):
-                if not row.get("error"):
+                if _reusable(row):
                     done[row.get("key") or _row_key(row)] = row
     if os.path.isfile(partial):
         with open(partial) as f:
             for line in f:
                 row = json.loads(line)
-                if not row.get("error"):
+                if _reusable(row):
                     done[row.get("key") or _row_key(row)] = row
 
     rows = []
