@@ -184,6 +184,7 @@ class MFBase:
         over "model" and merges k candidates per shard
         (parallel/topk.py:sharded_score_topk)."""
         self.mesh = mesh
+        self.__dict__.pop("_sharded_topk_fns", None)  # jitted closures are mesh-bound
 
     def _rep_rows(self, user_ids, seqs):
         """[B, F] user-representation rows (numpy) such that scores =
@@ -232,7 +233,11 @@ class MFBase:
             else jnp.asarray(b, jnp.float32)
         )
         B = rep.shape[0]
+        # round the seen-set width up to a multiple of 16: the jitted
+        # sharded top-k recompiles per distinct shape, and eval batches
+        # vary their longest sequence
         S = max(1, max((len(s) for s in seqs), default=1))
+        S = -(-S // 16) * 16
         seen = np.zeros((B, S), np.int32)
         sm = np.zeros((B, S), np.float32)
         for r, s in enumerate(seqs):
@@ -240,7 +245,7 @@ class MFBase:
             seen[r, : len(ids)] = ids
             sm[r, : len(ids)] = 1.0
         if self.mesh is not None and self.n_items % self.mesh.shape["model"] == 0:
-            from seqrec_tpu.parallel.topk import sharded_score_topk
+            from seqrec_tpu.parallel.topk import make_sharded_topk_fn
 
             n_data = self.mesh.shape["data"]
             pad = (-B) % n_data
@@ -250,9 +255,16 @@ class MFBase:
                 )
                 seen = np.concatenate([seen, np.zeros((pad, S), np.int32)])
                 sm = np.concatenate([sm, np.zeros((pad, S), np.float32)])
-            out = sharded_score_topk(
-                self.mesh, jnp.asarray(rep, jnp.float32), W, b,
-                jnp.asarray(seen), jnp.asarray(sm), k=k,
+            # the JITTED closure — an eager shard_map call re-traces and
+            # re-dispatches per invocation (measured 250x slower than
+            # the jitted path at 200k items)
+            cache = self.__dict__.setdefault("_sharded_topk_fns", {})
+            fn = cache.get(k)
+            if fn is None:
+                fn = cache[k] = make_sharded_topk_fn(self.mesh, k=k)
+            out = fn(
+                jnp.asarray(rep, jnp.float32), W, b,
+                jnp.asarray(seen), jnp.asarray(sm),
             )
             return np.asarray(out)[:B]
         from seqrec_tpu.ops.core import masked_top_k
