@@ -534,3 +534,26 @@ def test_mf_device_topk_matches_host(synthetic_handler, factory, monkeypatch):
             make_mesh(n_data=2, n_model=n_model, devices=jax.devices()[: 2 * n_model])
         )
         check(model.top_k_batch(instances, k=5))
+
+
+def test_mf_device_topk_row_chunking(synthetic_handler, monkeypatch):
+    """The device scorer splits big eval batches into row chunks (HBM
+    guard); chunked and unchunked results must agree exactly."""
+    model = BPRMF(k=8, adaptive_sampling=False, init_sigma=0.3, seed=0)
+    model.prepare_model(synthetic_handler)
+    model.change_data_format(synthetic_handler)
+    model.init_model()
+
+    instances = []
+    for sequence, user_id in synthetic_handler.validation_set(epochs=1):
+        half = len(sequence) // 2
+        if half:
+            instances.append((sequence[:half], user_id))
+        if len(instances) == 11:  # odd count -> ragged tail chunk
+            break
+
+    monkeypatch.setattr(type(model), "DEVICE_TOPK_MIN_ITEMS", 1)
+    whole = np.asarray(model.top_k_batch(instances, k=5))
+    monkeypatch.setattr(type(model), "_DEVICE_TOPK_ROW_CHUNK", 4)
+    chunked = np.asarray(model.top_k_batch(instances, k=5))
+    np.testing.assert_array_equal(whole, chunked)
