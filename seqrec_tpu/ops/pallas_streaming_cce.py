@@ -89,11 +89,15 @@ def _fwd_kernel(h_ref, w_ref, b_ref, m_out, s_out, m_acc, s_acc):
         s_out[:] = s_acc[pl.ds(row0, bb), :]
 
 
-def stats_pallas(h, Wp, bp, block_b=BLOCK_B, chunk=CHUNK_C, interpret=False):
+def stats_pallas(
+    h, Wp, bp, block_b=BLOCK_B, chunk=CHUNK_C, interpret=False, vma=None
+):
     """(m, s) [B] online log-sum-exp stats of ``h @ Wp + bp``.
 
     ``Wp``/``bp`` pre-padded to a ``chunk`` multiple (pad bias -1e30);
-    B is padded here to a ``block_b`` multiple."""
+    B is padded here to a ``block_b`` multiple. ``vma``: the varying
+    mesh axes of the output when called inside shard_map (the VMA
+    checker requires it on pallas_call out shapes)."""
     B, H = h.shape
     Np = Wp.shape[1]
     pad_b = (-B) % block_b
@@ -101,12 +105,15 @@ def stats_pallas(h, Wp, bp, block_b=BLOCK_B, chunk=CHUNK_C, interpret=False):
         h = jnp.pad(h, ((0, pad_b), (0, 0)))
     Bp = B + pad_b
     n_chunks = Np // chunk
+    _sds = functools.partial(jax.ShapeDtypeStruct, **(
+        {"vma": frozenset(vma)} if vma else {}
+    ))
 
     m, s = pl.pallas_call(
         _fwd_kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((Bp, 1), jnp.float32),
+            _sds((Bp, 1), jnp.float32),
+            _sds((Bp, 1), jnp.float32),
         ),
         grid=(n_chunks, Bp // block_b),
         in_specs=[
@@ -172,7 +179,7 @@ def _bwd_kernel(
 
 def grads_pallas(
     h, Wp, bp, targets, logz, g, block_b=BLOCK_B, chunk=CHUNK_C,
-    interpret=False,
+    interpret=False, vma=None,
 ):
     """(dh [B, H], dWp [H, Np], dbp [Np]) of the streaming CCE.
 
@@ -191,12 +198,15 @@ def grads_pallas(
     Bp = B + pad_b
     n_chunks = Np // chunk
 
+    _sds = functools.partial(jax.ShapeDtypeStruct, **(
+        {"vma": frozenset(vma)} if vma else {}
+    ))
     dh, dW, db = pl.pallas_call(
         functools.partial(_bwd_kernel, chunk=chunk),
         out_shape=(
-            jax.ShapeDtypeStruct((Bp, H), jnp.float32),
-            jax.ShapeDtypeStruct((H, Np), jnp.float32),
-            jax.ShapeDtypeStruct((1, Np), jnp.float32),
+            _sds((Bp, H), jnp.float32),
+            _sds((H, Np), jnp.float32),
+            _sds((1, Np), jnp.float32),
         ),
         grid=(n_chunks, Bp // block_b),
         in_specs=[

@@ -338,17 +338,41 @@ def sharded_streaming_cce(
     return _sharded_cce(h, W, b, targets, mesh, chunk, compute_dtype)
 
 
+def _sharded_kernel_engages(B: int, H: int, compute_dtype) -> bool:
+    """Pallas streaming kernels INSIDE the shard_map bodies. Default ON
+    for single-process meshes (measured: bitwise parity with the scan
+    on chip, and the mesh-1x1 ceiling closes from −3.1% to −0.1% of the
+    unsharded rate); multi-process meshes keep the XLA scan unless
+    SEQREC_PALLAS_STREAMING_SHARDED=1 opts in (each pallas_call is
+    shard-local so it should compose, but no multi-host TPU is
+    reachable to prove it)."""
+    import os
+
+    if (
+        jax.process_count() > 1
+        and not os.environ.get("SEQREC_PALLAS_STREAMING_SHARDED")
+    ):
+        return False
+    return _kernel_engages(B, H, compute_dtype)
+
+
 def _local_stats(h_l, W_l, b_l, t_l, chunk, compute_dtype):
     """Per-(data, model) shard forward: local chunk scan + cross-shard
     flash combine. Returns (loss, m, s) — all invariant over "model"."""
     N_local = W_l.shape[1]
     col0 = jax.lax.axis_index("model").astype(jnp.int32) * N_local
-    Wp, bp, n_chunks = _pad_cols(W_l, b_l, chunk)
     h_c = h_l.astype(compute_dtype)
-    m_l, s_l = _stats_scan(
-        h_c, Wp, bp, chunk, n_chunks, compute_dtype,
-        vma_axes=("data", "model"),
-    )
+    if _sharded_kernel_engages(h_l.shape[0], h_l.shape[1], compute_dtype):
+        from seqrec_tpu.ops.pallas_streaming_cce import CHUNK_C, stats_pallas
+
+        Wp, bp, _ = _pad_cols(W_l, b_l, CHUNK_C)
+        m_l, s_l = stats_pallas(h_c, Wp, bp, vma=("data", "model"))
+    else:
+        Wp, bp, n_chunks = _pad_cols(W_l, b_l, chunk)
+        m_l, s_l = _stats_scan(
+            h_c, Wp, bp, chunk, n_chunks, compute_dtype,
+            vma_axes=("data", "model"),
+        )
     tl_l = _target_logit(h_c, W_l, b_l, t_l - col0, compute_dtype, n_valid=N_local)
     m = jax.lax.pmax(m_l, "model")
     s = jax.lax.psum(s_l * jnp.exp(m_l - m), "model")
@@ -383,13 +407,28 @@ def _sh_bwd(mesh, chunk, compute_dtype, res, g):
     def local_bwd(h_l, W_l, b_l, t_l, m_l, s_l, g_l):
         N_local = W_l.shape[1]
         col0 = jax.lax.axis_index("model").astype(jnp.int32) * N_local
-        Wp, bp, n_chunks = _pad_cols(W_l, b_l, chunk)
-        logz = (m_l + jnp.log(s_l))[:, None]
-        dh_p, dWp, dbp = _grad_scan(
-            h_l.astype(compute_dtype), Wp, bp, t_l - col0, logz,
-            g_l[:, None], chunk, n_chunks, compute_dtype,
-            n_valid=N_local, vma_axes=("data", "model"),
-        )
+        if _sharded_kernel_engages(h_l.shape[0], h_l.shape[1], compute_dtype):
+            from seqrec_tpu.ops.pallas_streaming_cce import (
+                CHUNK_C,
+                grads_pallas,
+            )
+
+            Wp, bp, _ = _pad_cols(W_l, b_l, CHUNK_C)
+            # shard-relative targets; out-of-shard ids -> -1 (match no column)
+            t_rel = t_l - col0
+            t_rel = jnp.where((t_rel >= 0) & (t_rel < N_local), t_rel, -1)
+            dh_p, dWp, dbp = grads_pallas(
+                h_l.astype(compute_dtype), Wp, bp, t_rel,
+                m_l + jnp.log(s_l), g_l, vma=("data", "model"),
+            )
+        else:
+            Wp, bp, n_chunks = _pad_cols(W_l, b_l, chunk)
+            logz = (m_l + jnp.log(s_l))[:, None]
+            dh_p, dWp, dbp = _grad_scan(
+                h_l.astype(compute_dtype), Wp, bp, t_l - col0, logz,
+                g_l[:, None], chunk, n_chunks, compute_dtype,
+                n_valid=N_local, vma_axes=("data", "model"),
+            )
         # dh sums over ALL columns -> psum the per-model-shard partials;
         # dW/db live on their model shard but sum over the batch -> psum
         # over "data" (the standard data-parallel gradient all-reduce)
